@@ -1,0 +1,76 @@
+"""Name normalization / variant / blocking-key Column functions.
+
+Each mirrors a reference helper (cited), re-expressed as native Spark SQL
+expressions so they run inside whole-stage codegen — the reference versions
+are per-row Python (its single biggest throughput sink).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def clean_field(col: Column) -> Column:
+    """Whitespace collapse + trim. Ref: import_common.py:280-284."""
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def is_number(col: Column) -> Column:
+    """True if the string parses as a number. Ref: software_mention_import.py:172-177."""
+    return col.try_cast("double").isNotNull()  # ANSI-safe (Spark 4 default)
+
+
+def capitalized_variant(col: Column) -> Column:
+    """ALL-CAPS name -> Title Case variant, else NULL.
+
+    Ref: merge.py:299-318 (_capitalized_variant): 'STATA'->'Stata',
+    'MICROSOFT WORD'->'Microsoft Word'; already-mixed-case names (e.g.
+    'knitr', 'Stata') produce no variant.
+    """
+    title = F.initcap(F.lower(col))
+    return F.when((col == F.upper(col)) & (col != title), title)
+
+
+def hyphen_variant(col: Column) -> Column:
+    """Swap a single hyphen <-> single space, else NULL.
+
+    Ref: merge.py:320-335 (_hyphen_variant): 'STAR-aligner' <-> 'STAR aligner'
+    only when the name contains exactly one of the two separators.
+    """
+    n_hyphen = F.length(col) - F.length(F.regexp_replace(col, "-", ""))
+    n_space = F.length(col) - F.length(F.regexp_replace(col, " ", ""))
+    return (
+        F.when((n_hyphen == 1) & (n_space == 0), F.regexp_replace(col, "-", " "))
+        .when((n_space == 1) & (n_hyphen == 0), F.regexp_replace(col, " ", "-"))
+    )
+
+
+def norm_name(col: Column) -> Column:
+    """Case/separator-insensitive canonical name for same-name folding.
+
+    Analog of the reference's software_name_processed keying
+    (populate_from_mentions.py:173-266) widened with the variant space of
+    merge.py:299-335: lower-case, hyphens as spaces, whitespace collapsed.
+    """
+    return clean_field(F.lower(F.translate(col, "-", " ")))
+
+
+def block_key(col: Column) -> Column:
+    """Blocking key for candidate generation: lower-cased alnum-only.
+
+    Analog of the hash-indexed lookup keys (index_name_key / labels+aliases
+    hash indexes, populate_staging_area.py:94-128) and the alnum signature
+    dedup of populate_staging_area.py:425-553.
+    """
+    return F.regexp_replace(F.lower(col), "[^a-z0-9]", "")
+
+
+def title_author_key(title: Column, first_author_family: Column) -> Column:
+    """Document blocking key. Ref: populate_staging_area.py:879-897
+    (title_author_key): lower-cased de-spaced title + '_' + family name."""
+    return F.concat_ws(
+        "_",
+        F.regexp_replace(F.lower(title), r"\s+", ""),
+        F.lower(F.coalesce(first_author_family, F.lit(""))),
+    )

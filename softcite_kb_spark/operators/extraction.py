@@ -1,0 +1,258 @@
+"""Stage 1 — mention detection + (subj, pred, obj) triple extraction.
+
+Reference analog: the software-mention import + per-document entity fold
+(software_mention_import.py:61-130 blacklist/numeric filtering,
+populate_from_mentions.py:167-266 per-document annotation processing).
+There, extraction results arrive pre-computed from an external ML service
+and are folded per-row in Python; here the extraction itself runs inside
+Spark over transcript turns.
+
+Two execution paths with identical semantics (tests assert equality):
+
+  * native: ``regexp_extract_all`` + ``explode`` — stays fully JVM-side in
+    whole-stage codegen; this is the default and the 100 TB path.
+  * pandas: ``applyInPandas`` grouped by ``conv_id`` with turns explicitly
+    re-sorted by ``turn_idx`` inside each group — the vectorized-Arrow-UDF
+    contract of BASELINE.json (stable turn ordering enforced in-operator,
+    usable for extractors that need conversation context or a gazetteer
+    automaton that regexes can't express).
+
+Blacklist filtering is a broadcast left-anti join (ref
+software_mention_import.py:120-124 membership test) — at scale the
+blacklist can be large, and an anti-join keeps it distributed; Catalyst
+broadcasts the small side automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from softcite_kb_spark.functions.text import is_number, norm_name
+
+# Entity-name token: one or two Capitalized words (covers hyphen->space
+# variants like "Stat Forge" and person names "Ada Lovelace"). The {0,63}
+# bound is load-bearing: an unbounded `*` makes non-matching scans O(n^2)
+# on pathological turns (one 100 KB token hung the regex for minutes);
+# bounded, every pattern is O(len) per turn regardless of content.
+NAME = r"[A-Z][A-Za-z0-9_+.\-]{0,63}(?: [A-Z][A-Za-z0-9_+.\-]{0,63})?"
+
+PRED_DEPENDS = "depends_on"
+PRED_USES = "uses"
+PRED_WRITTEN_IN = "written_in"
+PRED_CREATED_BY = "created_by"
+PRED_LICENSED = "licensed_under"
+PRED_VERSION = "has_version"
+
+# (predicate, two-group regex). The object of has_version is a version
+# literal, not an entity name.
+TRIPLE_PATTERNS: list[tuple[str, str]] = [
+    (PRED_DEPENDS, rf"({NAME}) depends on ({NAME})\."),
+    (PRED_USES, rf"({NAME}) uses ({NAME}) internally"),
+    (PRED_WRITTEN_IN, rf"({NAME}) is written in ({NAME})\."),
+    (PRED_CREATED_BY, rf"({NAME}) was created by ({NAME})\."),
+    (PRED_LICENSED, rf"({NAME}) is licensed under ({NAME})\."),
+    (PRED_VERSION, rf"We ran ({NAME}) v(\d+\.\d+)"),
+]
+
+# predicates whose object is itself a software mention
+SOFT_OBJ_PREDS = (PRED_DEPENDS, PRED_USES)
+
+TRIPLE_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("subj", T.StringType()),
+    T.StructField("pred", T.StringType()),
+    T.StructField("obj", T.StringType()),
+])
+
+
+def ordered_turns(transcripts: DataFrame) -> DataFrame:
+    """Stable turn ordering: attach per-conversation sequence number.
+
+    north_rule requires extraction to observe turns in (conv_id, turn_idx)
+    order regardless of file/row order. ``seq`` is the authoritative stable
+    order; per-turn text equality tests compare against it.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return transcripts.withColumn("seq", F.row_number().over(w))
+
+
+def conversation_view(transcripts: DataFrame) -> DataFrame:
+    """One row per conversation with turns as an ordered struct array.
+
+    ``sort_array`` on a struct whose first field is turn_idx gives a
+    deterministic order without a shuffle-side sort — feed this to
+    whole-conversation extractors.
+    """
+    return (
+        transcripts
+        .groupBy("conv_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("turn_idx", "role", "text", "tool", "ts"))
+            ).alias("turns"),
+            F.count("*").cast("long").alias("n_turns"),
+        )
+    )
+
+
+def _blacklist_filter(
+    df: DataFrame, col: str, blacklist: DataFrame | None
+) -> DataFrame:
+    """Drop rows whose ``col`` is blacklisted or numeric.
+
+    Ref: software_mention_import.py:110-124 (blacklist file + 'SARS'
+    substring + _is_number). Anti-join keeps the blacklist distributed;
+    Catalyst broadcasts it when small.
+    """
+    out = df.filter(~is_number(F.col(col)))
+    if blacklist is not None:
+        bl = blacklist.select(F.col("term").alias("__bl_term")).distinct()
+        out = out.join(
+            F.broadcast(bl), F.upper(F.col(col)) == F.upper(F.col("__bl_term")),
+            "left_anti",
+        )
+    return out
+
+
+def extract_triples(
+    transcripts: DataFrame,
+    blacklist: DataFrame | None = None,
+    patterns: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Native-path triple extraction: (conv_id, turn_idx, subj, pred, obj).
+
+    One ``regexp_extract_all`` pair per pattern, zipped and exploded; the
+    per-pattern branches are unioned. All expressions are JVM-side; a
+    pattern that does not occur in a partition costs one regex scan, no
+    Python. Blacklist/numeric filtering applies to every name slot (subj
+    always; obj except for has_version whose object is a version literal).
+    """
+    pats = patterns or TRIPLE_PATTERNS
+    branches = []
+    base = transcripts.select("conv_id", "turn_idx", "text")
+    for pred, pat in pats:
+        pairs = F.arrays_zip(
+            F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(1)).alias("s"),
+            F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(2)).alias("o"),
+        )
+        branches.append(
+            base.select(
+                "conv_id", "turn_idx", F.explode(pairs).alias("m")
+            ).select(
+                "conv_id",
+                "turn_idx",
+                F.col("m.s").alias("subj"),
+                F.lit(pred).alias("pred"),
+                F.col("m.o").alias("obj"),
+            )
+        )
+    triples = branches[0]
+    for b in branches[1:]:
+        triples = triples.unionByName(b)
+    triples = _blacklist_filter(triples, "subj", blacklist)
+    name_obj = _blacklist_filter(
+        triples.filter(F.col("pred") != PRED_VERSION), "obj", blacklist
+    )
+    version_obj = triples.filter(F.col("pred") == PRED_VERSION)
+    return name_obj.unionByName(version_obj)
+
+
+def extract_triples_pandas(
+    transcripts: DataFrame,
+    blacklist_terms: Iterable[str] = (),
+    patterns: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Arrow/pandas-UDF path: applyInPandas grouped by conv_id.
+
+    Semantically identical to :func:`extract_triples`; exists to host
+    extractors that need full-conversation context. Turns are re-sorted by
+    ``turn_idx`` inside each group (stable turn ordering independent of
+    shuffle order), then vectorized ``Series.str.extractall`` runs per
+    pattern — no per-row Python.
+    """
+    import re
+
+    pats = patterns or TRIPLE_PATTERNS
+    compiled = [(pred, re.compile(pat)) for pred, pat in pats]
+    bl = {t.upper() for t in blacklist_terms}
+
+    def _is_num(s: pd.Series) -> pd.Series:
+        return pd.to_numeric(s, errors="coerce").notna()
+
+    def extract(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx", kind="mergesort")  # stable order
+        frames = []
+        for pred, rx in compiled:
+            m = pdf["text"].str.extractall(rx)
+            if m.empty:
+                continue
+            m = m.reset_index(level=1, drop=True)
+            m.columns = ["subj", "obj"]
+            m = m.join(pdf[["conv_id", "turn_idx"]])
+            m["pred"] = pred
+            frames.append(m[["conv_id", "turn_idx", "subj", "pred", "obj"]])
+        if not frames:
+            return pd.DataFrame(columns=[f.name for f in TRIPLE_SCHEMA.fields])
+        out = pd.concat(frames, ignore_index=True)
+        keep = ~out["subj"].str.upper().isin(bl) & ~_is_num(out["subj"])
+        obj_is_name = out["pred"] != PRED_VERSION
+        keep &= ~(obj_is_name & (out["obj"].str.upper().isin(bl) | _is_num(out["obj"])))
+        out = out[keep]
+        out["turn_idx"] = out["turn_idx"].astype("int32")
+        return out
+
+    return (
+        transcripts.select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .applyInPandas(extract, schema=TRIPLE_SCHEMA)
+    )
+
+
+def mentions_from_triples(triples: DataFrame) -> DataFrame:
+    """Derive software-mention rows from extracted triples.
+
+    subjects of every predicate are software mentions; objects of
+    depends_on/uses are too; the has_version object becomes the mention's
+    ``version`` attribute (analog of the P348 version qualifier the
+    reference attaches at populate_from_mentions.py:288-297).
+    """
+    subj = triples.select(
+        "conv_id", "turn_idx",
+        F.col("subj").alias("surface"),
+        F.when(F.col("pred") == PRED_VERSION, F.col("obj")).alias("version"),
+    )
+    obj = (
+        triples.filter(F.col("pred").isin(*SOFT_OBJ_PREDS))
+        .select("conv_id", "turn_idx",
+                F.col("obj").alias("surface"),
+                F.lit(None).cast("string").alias("version"))
+    )
+    return subj.unionByName(obj)
+
+
+def fold_mentions(mentions: DataFrame) -> DataFrame:
+    """Per-conversation same-name folding (A4).
+
+    Ref: populate_from_mentions.py:173-266 — all same-(normalized-)name
+    annotations inside one document fold into a single software entity.
+    Native groupBy; map-side partial aggregation is free.
+    """
+    return (
+        mentions
+        .withColumn("norm_surface", norm_name(F.col("surface")))
+        .groupBy("conv_id", "norm_surface")
+        .agg(
+            F.array_distinct(F.sort_array(F.collect_list("surface"))).alias("surfaces"),
+            F.count("*").cast("long").alias("n_mentions"),
+            F.array_distinct(
+                F.sort_array(F.collect_list("version"))
+            ).alias("versions"),
+            F.min("turn_idx").alias("first_turn_idx"),
+        )
+    )

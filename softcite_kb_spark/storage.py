@@ -1,0 +1,124 @@
+"""Iceberg-shaped table store over parquet directories.
+
+The target deployment stores every stage output as an Iceberg table
+(snapshot isolation, MERGE INTO, incremental reads). This sandbox has no
+Iceberg runtime jar, so ``TableStore`` reproduces the parts of the contract
+the pipeline relies on — immutable snapshots, a current-snapshot pointer,
+and per-snapshot manifests (row counts, schema, inputs) — over plain
+parquet. On a cluster you swap ``TableStore`` for ``spark.table(...)`` /
+``df.writeTo(...)`` against an Iceberg catalog; the pipeline code only
+touches this interface.
+
+Reference analog: each softcite_kb stage materializes an ArangoDB database
+(import dbs -> staging -> kb, Readme.md:55-145); idempotent re-runs rely on
+``collection.has(key)`` guards (software_mention_import.py:126). Here a
+stage is one atomic snapshot commit, and resume = "manifest row exists and
+its input snapshot ids still match" (see plans/pipeline.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    table: str
+    path: str
+    row_count: int
+    schema_ddl: str
+    committed_at: float
+    properties: dict[str, Any] = field(default_factory=dict)
+
+
+class TableStore:
+    """A namespace of snapshot-versioned parquet tables."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- metadata ---------------------------------------------------------
+    def _meta_path(self, table: str) -> str:
+        return os.path.join(self.root, table, "_meta.json")
+
+    def _load_meta(self, table: str) -> dict[str, Any]:
+        p = self._meta_path(table)
+        if not os.path.exists(p):
+            return {"current": None, "snapshots": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def _save_meta(self, table: str, meta: dict[str, Any]) -> None:
+        p = self._meta_path(table)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1, sort_keys=True)
+        os.replace(tmp, p)  # atomic pointer swap = snapshot commit
+
+    # -- public API -------------------------------------------------------
+    def exists(self, table: str) -> bool:
+        return self._load_meta(table)["current"] is not None
+
+    def current_snapshot(self, table: str) -> Snapshot | None:
+        meta = self._load_meta(table)
+        if meta["current"] is None:
+            return None
+        for s in meta["snapshots"]:
+            if s["snapshot_id"] == meta["current"]:
+                return Snapshot(**s)
+        return None
+
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        properties: dict[str, Any] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> Snapshot:
+        """Commit ``df`` as a new snapshot of ``table`` (overwrite semantics)."""
+        meta = self._load_meta(table)
+        sid = (meta["current"] or 0) + 1
+        data_dir = os.path.join(self.root, table, f"snap-{sid:05d}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        # row count from the written files (one scan, columnar count-only)
+        n = df.sparkSession.read.parquet(data_dir).count()
+        snap = Snapshot(
+            snapshot_id=sid,
+            table=table,
+            path=data_dir,
+            row_count=n,
+            schema_ddl=df.schema.simpleString(),
+            committed_at=time.time(),
+            properties=properties or {},
+        )
+        meta["snapshots"].append(snap.__dict__)
+        meta["current"] = sid
+        self._save_meta(table, meta)
+        # retire old snapshots beyond the last 3 (expire_snapshots analog)
+        for s in meta["snapshots"][:-3]:
+            if os.path.isdir(s["path"]):
+                shutil.rmtree(s["path"], ignore_errors=True)
+        return snap
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        snap = self.current_snapshot(table)
+        if snap is None:
+            raise FileNotFoundError(f"table {table!r} has no snapshot in {self.root}")
+        return spark.read.parquet(snap.path)
+
+    def drop(self, table: str) -> None:
+        d = os.path.join(self.root, table)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
