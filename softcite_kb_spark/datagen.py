@@ -167,6 +167,13 @@ def build_corpus(
     person_df = auth_entities[auth_entities.entity_type == "person"]
     persons = person_df.label.tolist()
     person_ids = dict(zip(person_df.label, person_df.entity_id))
+    # entity -> claimed P277 language (written_in turns must agree with the
+    # authority claim, otherwise stage-2 language post-validation correctly
+    # rejects the link and ground truth would be unsatisfiable)
+    soft_lang = {
+        r.entity_id: next(c["value"] for c in r.claims if c["prop"] == "P277")
+        for r in software.itertuples()
+    }
     lang_df = auth_entities[auth_entities.entity_type == "language"]
     lang_ids = dict(zip(lang_df.label, lang_df.entity_id))
     lic_df = auth_entities[auth_entities.entity_type == "license"]
@@ -237,7 +244,7 @@ def build_corpus(
                     tr_rows.append((conv_id, t, sa, PRED_USES, sb, ea, eb))
             elif kind == "written":
                 la, ea, sa = pick_soft()
-                lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
+                lang = soft_lang[ea]
                 text = f"{sa} is written in {lang}."
                 m_rows.append((conv_id, t, sa, ea, None))
                 tr_rows.append((conv_id, t, sa, PRED_WRITTEN_IN, lang, ea,

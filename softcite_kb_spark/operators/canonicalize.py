@@ -1,0 +1,273 @@
+"""Stage 3 — canonicalization: connected components, statement fold,
+node/edge materialization.
+
+Reference analog:
+
+  * union-find over pairwise match decisions (register_merging,
+    populate_staging_area.py:899-1030; decisions recorded by merge.py) ->
+    here an iterative min-label-propagation connected components over a
+    match-pair edge DataFrame. The reference's "first element of the
+    merging list is the host" rank-0 rule (knowledge_base.py:292-306)
+    becomes the deterministic "canonical id = min member id".
+  * statement aggregation with provenance-count summing
+    (aggregate_with_merge, common/arango_common.py:203-252; counts summed in
+    add_ref_if_not_present :391-424) -> native
+    groupBy(canonical, prop, value).agg(sum(count)).
+  * fuzzy value normalization — values equal after removing "- " merge,
+    counts summed, first raw value kept (normalize_entity,
+    arango_common.py:347-388) -> groupBy on de-hyphenated value + ordered
+    first().
+  * edge re-pointing to canonical vertices + dedup (set_up_relations,
+    knowledge_base.py:344-402) -> two canonical-map joins + dropDuplicates.
+
+Scale notes: label propagation shuffles once per iteration on the edge
+table; iterations = graph diameter (match graphs are near-star-shaped, so
+3-5). ``localCheckpoint`` each round cuts the lineage so plans don't grow
+exponentially. At cluster scale you would persist each round to a scratch
+Iceberg table instead (same interface, durable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from softcite_kb_spark.functions.text import norm_name
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Min-label propagation CC on an undirected edge DataFrame.
+
+    Returns (member_id, component_id) with component_id = min member id of
+    the component (deterministic canonical selection, W2 analog).
+
+    Each iteration: every vertex adopts min(own label, neighbors' labels).
+    Converges in O(diameter) rounds; each round is one shuffle on edges +
+    one on labels. Match graphs from blocking are near-stars so this
+    converges in a few rounds; a long-chain adversary is bounded by
+    ``max_iter`` (raise for pathological graphs).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("a").alias("member_id"))
+        .distinct()
+        .withColumn("component_id", F.col("member_id"))
+        .localCheckpoint(eager=True)
+    )
+
+    for i in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.a == labels.member_id, "inner")
+            .groupBy(F.col("b").alias("member_id"))
+            .agg(F.min("component_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "member_id", "left")
+            .select(
+                "member_id",
+                F.least(F.col("component_id"), F.coalesce("nbr_min", "component_id"))
+                .alias("component_id"),
+                (F.col("nbr_min") < F.col("component_id")).alias("changed"),
+            )
+        )
+        if checkpoint_every and (i % checkpoint_every == 0):
+            new_labels = new_labels.localCheckpoint(eager=True)
+        n_changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def mention_node_id(conv_id, norm_surface) -> F.Column:
+    """Deterministic content-hash id for a per-conversation mention group
+    (F10: deterministic ids instead of uuid4, SURVEY.md 7.0)."""
+    return F.concat(F.lit("m:"), F.sha2(F.concat_ws("", conv_id, norm_surface), 256).substr(1, 24))
+
+
+def match_pairs(linked_mentions: DataFrame) -> DataFrame:
+    """Build the match-pair edge list feeding CC.
+
+    Two pair sources (both avoid O(group^2) blowup by linking every member
+    to one deterministic representative — a star, which CC closes
+    transitively):
+
+      * mention-groups linked to the same authority entity -> edge
+        (node_id, "e:<entity_id>") — the entity id acts as the hub.
+      * same normalized surface across conversations (linked or not) ->
+        edge (node_id, min node_id over the surface), via a window min —
+        the exact-name conflation of merge.py J4 without variants (variants
+        already collapsed into norm_surface upstream).
+    """
+    nodes = linked_mentions.withColumn(
+        "node_id", mention_node_id(F.col("conv_id"), F.col("norm_surface")))
+
+    by_entity = (
+        nodes.filter(F.col("entity_id").isNotNull())
+        .select("node_id", F.concat(F.lit("e:"), F.col("entity_id")).alias("hub"))
+    )
+    w = W.partitionBy("norm_surface")
+    by_surface = (
+        nodes
+        .withColumn("hub", F.min("node_id").over(w))
+        .filter(F.col("hub") != F.col("node_id"))
+        .select("node_id", "hub")
+    )
+    return (
+        by_entity.unionByName(by_surface)
+        .select(F.col("node_id").alias("src"), F.col("hub").alias("dst"))
+    )
+
+
+def canonical_map(linked_mentions: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(node_id, conv_id, norm_surface, entity_id, canonical_id).
+
+    canonical_id prefers a component's authority-entity hub ("e:Qxx") if the
+    component contains one — matching the reference's rule that merges
+    anchor on the curated entity — else the min mention node id.
+    Singleton mention-groups (no pairs) are their own canonical.
+    """
+    nodes = linked_mentions.withColumn(
+        "node_id", mention_node_id(F.col("conv_id"), F.col("norm_surface")))
+    pairs = match_pairs(linked_mentions)
+    cc = connected_components(pairs, max_iter=max_iter)
+
+    # prefer the entity hub as the canonical representative of a component
+    hubs = (
+        cc.filter(F.col("member_id").startswith("e:"))
+        .groupBy("component_id")
+        .agg(F.min("member_id").alias("entity_hub"))
+    )
+    cc = (
+        cc.join(hubs, "component_id", "left")
+        .select("member_id",
+                F.coalesce("entity_hub", "component_id").alias("canonical_id"))
+    )
+    out = (
+        nodes.join(cc, nodes.node_id == cc.member_id, "left")
+        .drop("member_id")
+        .withColumn("canonical_id", F.coalesce("canonical_id", "node_id"))
+    )
+    return out
+
+
+def fold_statements(
+    triples: DataFrame,
+    canon: DataFrame,
+    source: str = "transcripts",
+) -> DataFrame:
+    """A5/A6: statements per canonical entity with count-summed provenance.
+
+    triples (conv_id, turn_idx, subj, pred, obj) are keyed to canonical
+    subjects via (conv_id, norm(subj)); identical (prop, normalized value)
+    statements merge with count summing; the kept raw value is the
+    lexicographically-first raw form (deterministic analog of the
+    reference's insertion-order first-wins, arango_common.py:280-287).
+    """
+    t = triples.withColumn("norm_surface", norm_name(F.col("subj")))
+    keyed = t.join(
+        canon.select("conv_id", "norm_surface", "canonical_id"),
+        ["conv_id", "norm_surface"], "inner")
+    # fuzzy value normalization: dehyphenation rule of arango_common.py:426-430
+    keyed = keyed.withColumn(
+        "norm_value", F.replace(F.col("obj"), F.lit("- "), F.lit("")))
+    return (
+        keyed.groupBy("canonical_id", F.col("pred").alias("prop"), "norm_value")
+        .agg(
+            F.min("obj").alias("value"),
+            F.count("*").cast("long").alias("count"),
+        )
+        .select("canonical_id", "prop", "value",
+                F.lit("string").alias("datatype"),
+                F.lit(source).alias("source"), "count")
+    )
+
+
+def build_nodes(
+    canon: DataFrame,
+    statements: DataFrame,
+    authority_entities: DataFrame | None = None,
+) -> DataFrame:
+    """Materialize the deduplicated node table.
+
+    label = the most-mentioned surface (A10 best-value selection:
+    window by count desc with deterministic tiebreak); aliases = every other
+    observed surface; entity_id = authority link when the component anchored
+    on one.
+    """
+    per_surface = (
+        canon.groupBy("canonical_id", "norm_surface")
+        .agg(F.sum("n_mentions").alias("cnt"),
+             F.array_distinct(F.flatten(F.collect_list("surfaces"))).alias("surfs"),
+             F.max("entity_id").alias("entity_id"))
+    )
+    w = W.partitionBy("canonical_id").orderBy(F.desc("cnt"), F.asc("norm_surface"))
+    best = (
+        per_surface.withColumn("rn", F.row_number().over(w))
+        .groupBy("canonical_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.element_at("surfs", 1))).alias("label"),
+            F.array_distinct(F.flatten(F.collect_list("surfs"))).alias("aliases"),
+            F.sum("cnt").cast("long").alias("n_mentions"),
+            F.max("entity_id").alias("entity_id"),
+            F.count("*").cast("long").alias("n_surfaces"),
+        )
+    )
+    if authority_entities is not None:
+        auth = authority_entities.select(
+            F.col("entity_id"), F.col("label").alias("authority_label"),
+            F.col("entity_type"))
+        best = best.join(F.broadcast(auth), "entity_id", "left")
+        best = best.withColumn("label", F.coalesce("authority_label", "label")) \
+                   .drop("authority_label")
+    return best
+
+
+def build_edges(triples: DataFrame, canon: DataFrame) -> DataFrame:
+    """J9 edge re-pointing: software-software triples become canonical edges.
+
+    Both endpoints map through the canonical map (two joins — the map is a
+    classic broadcast candidate but can be huge at web scale; AQE decides).
+    Unresolvable objects (never mentioned as subjects, e.g. a language) keep
+    a surface-hash id so the edge survives with provenance.
+    """
+    cmap = canon.select("conv_id", "norm_surface", "canonical_id")
+    t = (
+        # has_version is a claim (P348 analog), not a relation — it lives in
+        # the statement table, not the edge table
+        triples.filter(F.col("pred") != "has_version")
+        .withColumn("subj_key", norm_name(F.col("subj")))
+        .withColumn("obj_key", norm_name(F.col("obj")))
+    )
+    src = cmap.withColumnRenamed("norm_surface", "subj_key") \
+              .withColumnRenamed("canonical_id", "src_id")
+    dst = cmap.withColumnRenamed("norm_surface", "obj_key") \
+              .withColumnRenamed("canonical_id", "dst_id")
+    edges = (
+        t.join(src, ["conv_id", "subj_key"], "inner")
+        .join(dst, ["conv_id", "obj_key"], "left")
+        .withColumn(
+            "dst_id",
+            F.coalesce("dst_id",
+                       F.concat(F.lit("v:"), F.sha2(F.col("obj_key"), 256).substr(1, 24))))
+    )
+    return (
+        edges.groupBy(F.col("src_id"), F.col("dst_id"), F.col("pred").alias("rel"))
+        .agg(F.count("*").cast("long").alias("count"),
+             F.min("obj").alias("dst_surface"))
+    )

@@ -1,0 +1,224 @@
+"""Stage 2 — entity linking / disambiguation against curated authority tables.
+
+Reference analog: the merge stage's candidate lookups + validation + voting:
+
+  * strong-identifier fast path — exact DOI/ORCID/package-name conflation
+    (populate_from_wikidata.py:155-169, merge.py:40-73)
+  * name/alias disjunctive lookup with capitalization + hyphen variants
+    (merge.py:180-226, variants merge.py:299-335) — here a *blocking-key
+    table*: authority labels, aliases and generated variants exploded to
+    normalized keys, joined against folded mentions on the key. The authority side is a
+    curated dimension (small relative to mentions), so the join broadcasts —
+    mention-side skew (hot "R"-like names) never shuffles.
+  * post-validation — programming-language claim sets must overlap or one
+    side be empty (merge.py:268-297) -> arrays_overlap join-filter.
+  * disambiguation voting — accept an entity for a surface iff its summed
+    mention count wins an absolute majority and total evidence passes a
+    floor (knowledge_base.py:404-494: count>1, total>=10, count>total/2).
+
+Output: ``links(conv_id, norm_surface, entity_id, method, score)`` plus the
+unlinked remainder (OOV mentions stay unlinked by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from softcite_kb_spark.functions.text import (
+    capitalized_variant,
+    hyphen_variant,
+    norm_name,
+)
+
+METHOD_STRONG_ID = "strong_id"
+METHOD_LABEL = "label"
+METHOD_ALIAS = "alias"
+METHOD_VARIANT = "variant"
+
+_METHOD_SCORE = {
+    METHOD_STRONG_ID: 1.0,
+    METHOD_LABEL: 1.0,
+    METHOD_ALIAS: 0.9,
+    METHOD_VARIANT: 0.8,
+}
+
+
+def authority_block_keys(authority_entities: DataFrame) -> DataFrame:
+    """Explode authority labels + aliases + generated variants to a
+    normalized blocking-key table: (block_key, entity_id, method).
+
+    The variant space matches the reference's lookup disjunction
+    (merge.py:180-226): label, every alias, ALL-CAPS->Title variant, and
+    hyphen<->space variant. Keys are normalized with :func:`norm_name`, so case and
+    hyphen/space differences collapse into one key — variants that
+    normalize identically dedupe via the method-priority window in
+    :func:`link_mentions`.
+    """
+    ent = authority_entities.select("entity_id", "label", "aliases")
+    label = ent.select(
+        "entity_id", norm_name(F.col("label")).alias("block_key"),
+        F.lit(METHOD_LABEL).alias("method"))
+    alias = (
+        ent.select("entity_id", F.explode("aliases").alias("a"))
+        .select("entity_id", norm_name(F.col("a")).alias("block_key"),
+                F.lit(METHOD_ALIAS).alias("method"))
+    )
+    cap = ent.select(
+        "entity_id",
+        norm_name(capitalized_variant(F.col("label"))).alias("block_key"),
+        F.lit(METHOD_VARIANT).alias("method"))
+    hyp = ent.select(
+        "entity_id",
+        norm_name(hyphen_variant(F.col("label"))).alias("block_key"),
+        F.lit(METHOD_VARIANT).alias("method"))
+    keys = label.unionByName(alias).unionByName(cap).unionByName(hyp)
+    return keys.filter(F.col("block_key").isNotNull() & (F.col("block_key") != ""))
+
+
+def entity_langs(authority_entities: DataFrame) -> DataFrame:
+    """(entity_id, langs array) from P277 claims — post-validation dimension."""
+    return (
+        authority_entities
+        .select(
+            "entity_id",
+            F.filter("claims", lambda c: c["prop"] == F.lit("P277")).alias("lc"))
+        .select(
+            "entity_id",
+            F.transform("lc", lambda c: c["value"]).alias("langs"))
+    )
+
+
+def mention_langs(triples: DataFrame) -> DataFrame:
+    """(norm_surface, langs) observed via written_in triples — the mention
+    side of the language post-validation (merge.py:268-297)."""
+    return (
+        triples.filter(F.col("pred") == "written_in")
+        .select(norm_name(F.col("subj")).alias("norm_surface"),
+                F.col("obj").alias("lang"))
+        .groupBy("norm_surface")
+        .agg(F.array_distinct(F.sort_array(F.collect_list("lang"))).alias("mention_langs"))
+    )
+
+
+def generate_candidates(
+    folded_mentions: DataFrame,
+    authority_entities: DataFrame,
+    authority_ids: DataFrame | None = None,
+    triples: DataFrame | None = None,
+) -> DataFrame:
+    """Blocked candidate generation: one row per (mention-group, entity).
+
+    Both joins broadcast the authority side explicitly — it is the curated
+    dimension and must never become the shuffle partner of a 10^12-row
+    mention table. Candidates carry a method + score; the strong-id path
+    wins ties via score then method ordering.
+    """
+    m = folded_mentions.select("conv_id", "norm_surface", "n_mentions")
+
+    keys = authority_block_keys(authority_entities)
+    by_name = (
+        m.join(F.broadcast(keys),
+               m.norm_surface == keys.block_key, "inner")
+        .drop("block_key")
+    )
+
+    if authority_ids is not None:
+        pkg = (
+            authority_ids.filter(F.col("id_kind") == "pkg")
+            .select(norm_name(F.col("id_value")).alias("id_key"), "entity_id")
+        )
+        strong = (
+            m.join(F.broadcast(pkg), m.norm_surface == pkg.id_key, "inner")
+            .drop("id_key")
+            .withColumn("method", F.lit(METHOD_STRONG_ID))
+        )
+        cands = by_name.unionByName(strong)
+    else:
+        cands = by_name
+
+    score_map = F.create_map(
+        *[x for kv in _METHOD_SCORE.items() for x in (F.lit(kv[0]), F.lit(kv[1]))])
+    cands = cands.withColumn("score", score_map[F.col("method")])
+
+    # language post-validation (J6): candidate survives iff language claim
+    # sets overlap or either side is empty/unknown
+    if triples is not None:
+        ml = mention_langs(triples)
+        el = entity_langs(authority_entities)
+        cands = (
+            cands
+            .join(ml, "norm_surface", "left")
+            .join(F.broadcast(el), "entity_id", "left")
+            .filter(
+                F.col("mention_langs").isNull()
+                | F.col("langs").isNull()
+                | (F.size("mention_langs") == 0)
+                | (F.size("langs") == 0)
+                | F.arrays_overlap("mention_langs", "langs")
+            )
+            .drop("mention_langs", "langs")
+        )
+    return cands
+
+
+def vote_links(
+    candidates: DataFrame,
+    min_total: int = 2,
+    majority: float = 0.5,
+) -> DataFrame:
+    """Disambiguation voting (A8, knowledge_base.py:404-494).
+
+    Votes are mention counts summed per (norm_surface, entity_id) across the
+    whole corpus. A surface's winning entity is accepted iff
+    total_votes >= min_total and winner_votes > majority * total_votes.
+    Window `row_number()=1` with a deterministic tiebreak picks the winner.
+    """
+    votes = (
+        candidates
+        # a mention-group votes once per entity even if several methods matched
+        .groupBy("norm_surface", "entity_id")
+        .agg(F.sum("n_mentions").alias("votes"),
+             F.max("score").alias("score"),
+             F.min("method").alias("method"))
+    )
+    w = W.partitionBy("norm_surface")
+    votes = votes.withColumn("total_votes", F.sum("votes").over(w))
+    rank = W.partitionBy("norm_surface").orderBy(
+        F.desc("votes"), F.desc("score"), F.asc("entity_id"))
+    return (
+        votes.withColumn("rn", F.row_number().over(rank))
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("total_votes") >= min_total)
+            & (F.col("votes") > F.col("total_votes") * majority)
+        )
+        .select("norm_surface", "entity_id", "votes", "total_votes",
+                "score", "method")
+    )
+
+
+def link_mentions(
+    folded_mentions: DataFrame,
+    authority_entities: DataFrame,
+    authority_ids: DataFrame | None = None,
+    triples: DataFrame | None = None,
+    min_total: int = 2,
+) -> DataFrame:
+    """Full stage-2: candidates -> voting -> per-mention-group links.
+
+    Returns folded_mentions columns + (entity_id, link_method, link_score);
+    entity_id NULL = unlinked (OOV or below voting thresholds).
+    """
+    cands = generate_candidates(
+        folded_mentions, authority_entities, authority_ids, triples)
+    accepted = vote_links(cands, min_total=min_total).select(
+        "norm_surface",
+        F.col("entity_id"),
+        F.col("method").alias("link_method"),
+        F.col("score").alias("link_score"),
+    )
+    # surface->entity map size is bounded by distinct surfaces, typically
+    # broadcastable, but can reach GBs at web scale — let AQE decide.
+    return folded_mentions.join(accepted, "norm_surface", "left")

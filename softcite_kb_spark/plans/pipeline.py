@@ -1,0 +1,221 @@
+"""The 3-stage KG-construction pipeline with checkpoint/resume.
+
+Stage boundaries are snapshot commits (storage.TableStore; Iceberg on a real
+cluster). Each stage records a *manifest* — stage name, config fingerprint,
+input-table snapshot ids, output snapshot id — and resume skips any stage
+whose manifest still matches its inputs (the analog of the reference's
+idempotent re-runs guarded by ``collection.has(key)``,
+software_mention_import.py:126, Readme.md:261-265 — but transactional:
+a stage either commits a snapshot or leaves the previous one current).
+
+Per north_rule, every stage also writes per-partition lineage + metrics
+rows (``spark_partition_id()`` rollups) into ``_metrics``; the reference
+has no analog (it logs progress counts to stdout, Readme.md:196-245).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from softcite_kb_spark.operators import canonicalize as cz
+from softcite_kb_spark.operators import extraction as ex
+from softcite_kb_spark.operators import linking as lk
+from softcite_kb_spark.storage import TableStore
+
+
+@dataclass
+class PipelineConfig:
+    blacklist: tuple[str, ...] = ()
+    min_vote_total: int = 2
+    cc_max_iter: int = 25
+    source_name: str = "transcripts"
+    extra: dict = field(default_factory=dict)
+
+    def fingerprint(self) -> str:
+        payload = json.dumps(
+            {"blacklist": sorted(self.blacklist),
+             "min_vote_total": self.min_vote_total,
+             "cc_max_iter": self.cc_max_iter,
+             "source_name": self.source_name,
+             "extra": self.extra},
+            sort_keys=True)
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+class KGPipeline:
+    """transcripts + authority tables -> mentions/triples -> links -> kb.
+
+    Stage outputs (tables in the store):
+      stage 1: ``triples``, ``mentions``, ``folded_mentions``
+      stage 2: ``linked_mentions``
+      stage 3: ``canonical_map``, ``statements``, ``nodes``, ``edges``
+    plus ``_metrics`` (per-stage, per-partition row counts + timings) and
+    the manifest file ``_manifest.json`` in the store root.
+    """
+
+    STAGES = ("extract", "link", "canonicalize")
+
+    def __init__(self, spark: SparkSession, store: TableStore,
+                 config: PipelineConfig | None = None) -> None:
+        self.spark = spark
+        self.store = store
+        self.config = config or PipelineConfig()
+        self._manifest_path = os.path.join(store.root, "_manifest.json")
+
+    # -- manifest ---------------------------------------------------------
+    def _load_manifest(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def _save_manifest(self, m: dict) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path)
+
+    def _input_snapshot_ids(self, tables: list[str]) -> dict[str, int]:
+        out = {}
+        for t in tables:
+            snap = self.store.current_snapshot(t)
+            out[t] = snap.snapshot_id if snap else -1
+        return out
+
+    def _stage_fresh(self, stage: str, inputs: dict[str, int]) -> bool:
+        m = self._load_manifest().get(stage)
+        return (
+            m is not None
+            and m["inputs"] == inputs
+            and m["config"] == self.config.fingerprint()
+        )
+
+    def _record_stage(self, stage: str, inputs: dict[str, int],
+                      outputs: dict[str, int], seconds: float,
+                      rows: dict[str, int]) -> None:
+        m = self._load_manifest()
+        m[stage] = {
+            "inputs": inputs,
+            "outputs": outputs,
+            "config": self.config.fingerprint(),
+            "seconds": round(seconds, 3),
+            "rows": rows,
+            "finished_at": time.time(),
+        }
+        self._save_manifest(m)
+
+    # -- metrics / lineage ------------------------------------------------
+    def _write_metrics(self, stage: str, df: DataFrame, table: str) -> None:
+        """Per-partition lineage/metrics rows (north_rule requirement)."""
+        part = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").cast("long").alias("n_rows"))
+            .withColumn("stage", F.lit(stage))
+            .withColumn("table", F.lit(table))
+            .withColumn("config", F.lit(self.config.fingerprint()))
+        )
+        prev = None
+        if self.store.exists("_metrics"):
+            prev = self.store.read(self.spark, "_metrics")
+            prev = prev.filter(
+                ~((F.col("stage") == stage) & (F.col("table") == table)))
+            part = prev.unionByName(part)
+        self.store.write(part, "_metrics")
+
+    # -- stages -----------------------------------------------------------
+    def _blacklist_df(self) -> DataFrame | None:
+        if not self.config.blacklist:
+            return None
+        return self.spark.createDataFrame(
+            pd.DataFrame({"term": list(self.config.blacklist)}))
+
+    def stage_extract(self) -> None:
+        transcripts = self.store.read(self.spark, "transcripts")
+        triples = ex.extract_triples(transcripts, self._blacklist_df())
+        self.store.write(triples, "triples")
+        triples = self.store.read(self.spark, "triples")  # re-read: cut lineage
+        mentions = ex.mentions_from_triples(triples)
+        self.store.write(mentions, "mentions")
+        folded = ex.fold_mentions(self.store.read(self.spark, "mentions"))
+        self.store.write(folded, "folded_mentions")
+        self._write_metrics("extract", self.store.read(self.spark, "triples"),
+                            "triples")
+
+    def stage_link(self) -> None:
+        folded = self.store.read(self.spark, "folded_mentions")
+        auth = self.store.read(self.spark, "authority_entities")
+        ids = (self.store.read(self.spark, "authority_ids")
+               if self.store.exists("authority_ids") else None)
+        triples = self.store.read(self.spark, "triples")
+        linked = lk.link_mentions(
+            folded, auth, ids, triples, min_total=self.config.min_vote_total)
+        self.store.write(linked, "linked_mentions")
+        self._write_metrics(
+            "link", self.store.read(self.spark, "linked_mentions"),
+            "linked_mentions")
+
+    def stage_canonicalize(self) -> None:
+        linked = self.store.read(self.spark, "linked_mentions")
+        triples = self.store.read(self.spark, "triples")
+        auth = self.store.read(self.spark, "authority_entities")
+        canon = cz.canonical_map(linked, max_iter=self.config.cc_max_iter)
+        self.store.write(canon, "canonical_map")
+        canon = self.store.read(self.spark, "canonical_map")
+        stmts = cz.fold_statements(triples, canon, source=self.config.source_name)
+        self.store.write(stmts, "statements")
+        nodes = cz.build_nodes(canon, self.store.read(self.spark, "statements"),
+                               authority_entities=auth)
+        self.store.write(nodes, "nodes")
+        edges = cz.build_edges(triples, canon)
+        self.store.write(edges, "edges")
+        self._write_metrics("canonicalize",
+                            self.store.read(self.spark, "nodes"), "nodes")
+
+    # -- driver -----------------------------------------------------------
+    _STAGE_IO: dict[str, tuple[list[str], list[str]]] = {
+        "extract": (["transcripts"], ["triples", "mentions", "folded_mentions"]),
+        "link": (["folded_mentions", "authority_entities", "triples"],
+                 ["linked_mentions"]),
+        "canonicalize": (["linked_mentions", "triples", "authority_entities"],
+                         ["canonical_map", "statements", "nodes", "edges"]),
+    }
+
+    def run(self, resume: bool = True, stop_after: str | None = None) -> dict:
+        """Run all stages; with ``resume`` skip stages whose manifest matches
+        current input snapshots + config. ``stop_after`` simulates a crash
+        at a stage boundary for resume tests."""
+        fns: dict[str, Callable[[], None]] = {
+            "extract": self.stage_extract,
+            "link": self.stage_link,
+            "canonicalize": self.stage_canonicalize,
+        }
+        report = {}
+        for stage in self.STAGES:
+            in_tables, out_tables = self._STAGE_IO[stage]
+            inputs = self._input_snapshot_ids(in_tables)
+            if resume and self._stage_fresh(stage, inputs):
+                report[stage] = "skipped"
+            else:
+                t0 = time.time()
+                fns[stage]()
+                outputs = self._input_snapshot_ids(out_tables)
+                rows = {
+                    t: (self.store.current_snapshot(t).row_count
+                        if self.store.exists(t) else 0)
+                    for t in out_tables
+                }
+                self._record_stage(stage, inputs, outputs,
+                                   time.time() - t0, rows)
+                report[stage] = "ran"
+            if stop_after == stage:
+                break
+        return report

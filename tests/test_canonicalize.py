@@ -1,0 +1,131 @@
+"""Stage-3 tests: CC vs union-find oracle, canonical map determinism,
+statement count-summing, node/edge materialization."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from softcite_kb_spark import datagen
+from softcite_kb_spark.operators import canonicalize as cz
+from softcite_kb_spark.operators import extraction as ex
+from softcite_kb_spark.operators import linking as lk
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_cc_matches_union_find_oracle(spark):
+    # chain + star + singleton-pair graph
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"),          # chain
+             ("h", "x1"), ("h", "x2"), ("h", "x3"),        # star
+             ("p", "q"),                                   # pair
+             ("z1", "z2"), ("z2", "z3"), ("z1", "z3")]     # triangle
+    df = spark.createDataFrame(pd.DataFrame(pairs, columns=["src", "dst"]))
+    got = {r.member_id: r.component_id
+           for r in cz.connected_components(df).collect()}
+    want = _union_find(pairs)
+    assert got == want
+
+
+def test_cc_long_chain_converges(spark):
+    n = 12
+    pairs = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)]
+    df = spark.createDataFrame(pd.DataFrame(pairs, columns=["src", "dst"]))
+    got = cz.connected_components(df, max_iter=30)
+    comps = {r.component_id for r in got.collect()}
+    assert comps == {"n000"}
+
+
+def _pipeline_frames(spark, corpus):
+    bl = spark.createDataFrame(pd.DataFrame({"term": datagen.BLACKLIST}))
+    triples = ex.extract_triples(corpus["transcripts"], bl)
+    folded = ex.fold_mentions(ex.mentions_from_triples(triples))
+    linked = lk.link_mentions(
+        folded, corpus["authority_entities"], corpus["authority_ids"],
+        triples, min_total=1)
+    return triples, linked
+
+
+def test_canonical_map_groups_variants(spark, corpus):
+    triples, linked = _pipeline_frames(spark, corpus)
+    canon = cz.canonical_map(linked)
+    # every linked mention-group of the same entity shares one canonical id
+    per_entity = (
+        canon.filter(F.col("entity_id").isNotNull())
+        .groupBy("entity_id")
+        .agg(F.countDistinct("canonical_id").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert per_entity == 0
+    # canonical anchors on the entity hub when linked
+    anchored = canon.filter(
+        F.col("entity_id").isNotNull()
+        & (F.col("canonical_id") == F.concat(F.lit("e:"), F.col("entity_id")))
+    ).count()
+    assert anchored == canon.filter(F.col("entity_id").isNotNull()).count()
+
+
+def test_canonical_map_deterministic(spark, corpus):
+    triples, linked = _pipeline_frames(spark, corpus)
+    a = sorted(map(tuple, cz.canonical_map(linked)
+                   .select("node_id", "canonical_id").collect()))
+    b = sorted(map(tuple, cz.canonical_map(linked.orderBy(F.rand(seed=3)))
+                   .select("node_id", "canonical_id").collect()))
+    assert a == b
+
+
+def test_statement_count_summing(spark):
+    # A5 semantics: identical (prop, value) statements merge, counts sum;
+    # A6: values equal after "- " removal merge, first raw kept
+    triples = spark.createDataFrame(pd.DataFrame({
+        "conv_id": ["c1", "c1", "c2", "c2"],
+        "turn_idx": pd.array([0, 1, 0, 1], dtype="int32"),
+        "subj": ["Statlib", "Statlib", "STATLIB", "Statlib"],
+        "pred": ["written_in"] * 4,
+        "obj": ["Python", "Python", "Py- thon", "Python"],
+    }))
+    canon = spark.createDataFrame(pd.DataFrame({
+        "conv_id": ["c1", "c2"],
+        "norm_surface": ["statlib", "statlib"],
+        "canonical_id": ["e:Q1", "e:Q1"],
+    }))
+    got = cz.fold_statements(triples, canon).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.canonical_id == "e:Q1" and r.prop == "written_in"
+    assert r["count"] == 4       # 2 + 1 (dehyphenated) + 1  (Row.count is
+    # shadowed by tuple.count — use item access)
+    assert r.value == "Py- thon" or r.value == "Python"
+    # deterministic: min raw form — "Py- thon" < "Python" lexicographically
+    assert r.value == "Py- thon"
+
+
+def test_nodes_and_edges_materialize(spark, corpus):
+    triples, linked = _pipeline_frames(spark, corpus)
+    canon = cz.canonical_map(linked)
+    stmts = cz.fold_statements(triples, canon)
+    nodes = cz.build_nodes(canon, stmts, corpus["authority_entities"])
+    edges = cz.build_edges(triples, canon)
+    assert nodes.filter(F.col("label").isNull()).count() == 0
+    # node ids unique
+    assert nodes.count() == nodes.select("canonical_id").distinct().count()
+    # every edge endpoint that is canonical exists in nodes
+    nid = nodes.select(F.col("canonical_id").alias("id"))
+    dangling = (edges.join(nid, edges.src_id == nid.id, "left_anti").count())
+    assert dangling == 0
+    assert edges.filter(F.col("rel") == "has_version").count() == 0
+    assert edges.filter(F.col("count") <= 0).count() == 0

@@ -1,0 +1,119 @@
+"""Stage-2 tests: blocking keys, language post-validation, voting, link accuracy."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from softcite_kb_spark import datagen
+from softcite_kb_spark.operators import extraction as ex
+from softcite_kb_spark.operators import linking as lk
+
+
+def _norm(s: str) -> str:
+    return " ".join(s.lower().replace("-", " ").split())
+
+
+def _linked(spark, corpus, min_total=1):
+    bl = spark.createDataFrame(pd.DataFrame({"term": datagen.BLACKLIST}))
+    triples = ex.extract_triples(corpus["transcripts"], bl)
+    folded = ex.fold_mentions(ex.mentions_from_triples(triples))
+    return lk.link_mentions(
+        folded, corpus["authority_entities"], corpus["authority_ids"],
+        triples, min_total=min_total)
+
+
+def test_block_keys_cover_variants(spark, corpus):
+    keys = lk.authority_block_keys(corpus["authority_entities"])
+    # pick an actual hyphenated software label from the corpus
+    lab = (corpus["authority_entities"]
+           .filter((F.col("entity_type") == "software")
+                   & F.col("label").contains("-"))
+           .select("label").first().label)
+    rows = keys.filter(F.col("block_key") == _norm(lab)).collect()
+    # the label, its ALL-CAPS alias and its hyphen<->space alias/variant all
+    # normalize onto the same blocking key
+    assert {r.method for r in rows} >= {"label", "alias", "variant"}
+    assert len({r.entity_id for r in rows}) == 1
+    # no empty/null keys anywhere
+    assert keys.filter(F.col("block_key") == "").count() == 0
+
+
+def test_link_accuracy_vs_ground_truth(spark, corpus):
+    linked = _linked(spark, corpus).select(
+        "conv_id", "norm_surface", "entity_id")
+    truth = (
+        corpus["expected_mentions"]
+        .select("conv_id",
+                F.col("surface"),
+                F.col("entity_id").alias("true_entity"))
+        .withColumn("norm_surface",
+                    F.regexp_replace(F.lower(F.translate("surface", "-", " ")),
+                                     r"\s+", " "))
+        .select("conv_id", "norm_surface", "true_entity")
+        .distinct()
+    )
+    j = linked.join(truth, ["conv_id", "norm_surface"], "inner")
+    total = j.count()
+    ok = j.filter(
+        (F.col("entity_id") == F.col("true_entity"))
+        | (F.col("entity_id").isNull() & F.col("true_entity").isNull())
+    ).count()
+    assert total > 0
+    acc = ok / total
+    assert acc >= 0.95, f"link accuracy {acc}"
+    # OOV mentions must remain unlinked
+    oov_bad = j.filter(
+        F.col("true_entity").isNull() & F.col("entity_id").isNotNull()).count()
+    assert oov_bad == 0
+
+
+def test_voting_majority_rule(spark):
+    # surface seen 10x as entity A and 9x as entity B -> no absolute
+    # majority is false (10 > 19*0.5), A wins; a 50/50 split links nothing
+    pdf = pd.DataFrame({
+        "conv_id": ["c1", "c2", "c3", "c4"],
+        "norm_surface": ["tool", "tool", "even", "even"],
+        "n_mentions": [10, 9, 5, 5],
+        "entity_id": ["QA", "QB", "QC", "QD"],
+        "method": ["label", "alias", "label", "label"],
+        "score": [1.0, 0.9, 1.0, 1.0],
+    })
+    votes = lk.vote_links(spark.createDataFrame(pdf), min_total=2)
+    got = {r.norm_surface: r.entity_id for r in votes.collect()}
+    assert got == {"tool": "QA"}  # "even" is ambiguous -> dropped
+
+
+def test_voting_min_total(spark):
+    pdf = pd.DataFrame({
+        "conv_id": ["c1"],
+        "norm_surface": ["rare"],
+        "n_mentions": [1],
+        "entity_id": ["QA"],
+        "method": ["label"],
+        "score": [1.0],
+    })
+    df = spark.createDataFrame(pdf)
+    assert lk.vote_links(df, min_total=2).count() == 0
+    assert lk.vote_links(df, min_total=1).count() == 1
+
+
+def test_language_post_validation(spark):
+    # candidate whose authority language claims conflict with observed
+    # written_in evidence is dropped (merge.py:268-297 semantics)
+    auth = spark.createDataFrame(pd.DataFrame({
+        "entity_id": ["QA", "QB"],
+        "label": ["Toolkit", "Toolkit"],
+        "aliases": [[], []],
+        "entity_type": ["software", "software"],
+        "claims": [
+            [{"prop": "P277", "value": "Python", "datatype": "wikibase-item"}],
+            [{"prop": "P277", "value": "Rust", "datatype": "wikibase-item"}],
+        ],
+    }))
+    folded = spark.createDataFrame(pd.DataFrame({
+        "conv_id": ["c1"], "norm_surface": ["toolkit"], "n_mentions": [3]}))
+    triples = spark.createDataFrame(pd.DataFrame({
+        "conv_id": ["c1"], "turn_idx": pd.array([0], dtype="int32"),
+        "subj": ["Toolkit"], "pred": ["written_in"], "obj": ["Python"]}))
+    cands = lk.generate_candidates(folded, auth, None, triples)
+    got = {r.entity_id for r in cands.collect()}
+    assert got == {"QA"}

@@ -1,0 +1,94 @@
+"""End-to-end pipeline tests: full run, resume skip, crash/resume
+equivalence, idempotence (fixpoint), metrics presence."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from softcite_kb_spark import datagen
+from softcite_kb_spark.plans.pipeline import KGPipeline, PipelineConfig
+from softcite_kb_spark.storage import TableStore
+
+
+@pytest.fixture()
+def store(spark, corpus, tmp_path):
+    st = TableStore(str(tmp_path / "kb"))
+    for name in ("transcripts", "authority_entities", "authority_ids"):
+        st.write(corpus[name], name)
+    return st
+
+
+def _cfg():
+    return PipelineConfig(blacklist=tuple(datagen.BLACKLIST), min_vote_total=1)
+
+
+def _table_hash(spark, store, name):
+    df = store.read(spark, name)
+    cols = sorted(df.columns)
+    proj = [F.col(c).cast("string") for c in cols]
+    return (
+        df.select(F.sha2(F.concat_ws("\x1f", *proj), 256).alias("h"))
+        .agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("decimal(38,0)")))
+        .collect()[0][0]
+    )
+
+
+def test_full_run_and_resume(spark, store):
+    pipe = KGPipeline(spark, store, _cfg())
+    r1 = pipe.run()
+    assert all(v == "ran" for v in r1.values())
+    for t in ("triples", "linked_mentions", "canonical_map",
+              "statements", "nodes", "edges", "_metrics"):
+        assert store.exists(t), t
+        assert store.current_snapshot(t).row_count > 0
+
+    # second run: all stages skip (manifest matches)
+    r2 = pipe.run()
+    assert all(v == "skipped" for v in r2.values())
+
+    # input change invalidates downstream stage 1 but resume still works
+    nodes_before = _table_hash(spark, store, "nodes")
+    r3 = pipe.run(resume=False)
+    assert all(v == "ran" for v in r3.values())
+    assert _table_hash(spark, store, "nodes") == nodes_before  # fixpoint
+
+
+def test_crash_resume_equivalence(spark, corpus, tmp_path):
+    # run A: straight through; run B: "crash" after each stage, resume
+    stores = {}
+    for mode in ("straight", "crashy"):
+        st = TableStore(str(tmp_path / mode))
+        for name in ("transcripts", "authority_entities", "authority_ids"):
+            st.write(corpus[name], name)
+        pipe = KGPipeline(spark, st, _cfg())
+        if mode == "straight":
+            pipe.run()
+        else:
+            pipe.run(stop_after="extract")
+            pipe.run(stop_after="link")
+            r = pipe.run()
+            assert r["extract"] == "skipped" and r["link"] == "skipped"
+            assert r["canonicalize"] == "ran"
+        stores[mode] = st
+    for t in ("triples", "statements", "nodes", "edges"):
+        ha = _table_hash(spark, stores["straight"], t)
+        hb = _table_hash(spark, stores["crashy"], t)
+        assert ha == hb, f"{t} differs between straight and crash/resume runs"
+
+
+def test_metrics_lineage_rows(spark, store):
+    KGPipeline(spark, store, _cfg()).run()
+    m = store.read(spark, "_metrics")
+    stages = {r.stage for r in m.select("stage").distinct().collect()}
+    assert stages == {"extract", "link", "canonicalize"}
+    assert m.filter(F.col("n_rows") < 0).count() == 0
+    assert m.filter(F.col("partition_id").isNull()).count() == 0
+
+
+def test_config_change_invalidates(spark, store):
+    pipe = KGPipeline(spark, store, _cfg())
+    pipe.run()
+    pipe2 = KGPipeline(spark, store,
+                       PipelineConfig(blacklist=("OTHER",), min_vote_total=1))
+    r = pipe2.run()
+    assert all(v == "ran" for v in r.values())
