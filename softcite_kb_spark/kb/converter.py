@@ -1,0 +1,106 @@
+"""Export-boundary format converters (reference P8, kb/converter.py).
+
+Internally the engine keeps the *statement-row* schema
+(canonical_id, prop, value, datatype, source, count) — columnar, prunable,
+aggregation-native (SURVEY.md 7.0). The reference's nested Wikidata-style
+claim documents exist only at the export boundary, produced here:
+
+  * to_claims_json — statements re-nested into
+    {"P<prop>": [{value, datatype, references: [{P248: source, count}]}]}
+    (internal format, kb/converter.py:126-323 direction)
+  * to_simple — property/entity ids replaced by names via a broadcast
+    naming dimension (kb/converter.py:21-124; naming KV store
+    common/arango_common.py:122-201)
+  * codemeta-style projection — best value per mapped property
+    (kb/converter.py:392-441) reusing A10 best-value selection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from softcite_kb_spark.queries.api_queries import best_value_per_property
+
+
+def to_claims_json(statements: DataFrame,
+                   entity_col: str = "canonical_id") -> DataFrame:
+    """(entity, claims_json) — one nested Wikidata-style claim doc each.
+
+    Two-level re-nest: statements -> per-prop arrays -> prop-keyed map ->
+    JSON. All native (collect_list / map_from_entries / to_json); order is
+    made deterministic by sort_array on (prop) and (value) keys.
+    """
+    per_stmt = statements.select(
+        F.col(entity_col).alias("entity_id"),
+        "prop",
+        F.struct(
+            F.col("value"),
+            F.col("datatype"),
+            F.array(F.struct(
+                F.col("source").alias("P248"),
+                F.col("count").alias("count"),
+            )).alias("references"),
+        ).alias("stmt"),
+    )
+    per_prop = (
+        per_stmt.groupBy("entity_id", "prop")
+        .agg(F.sort_array(F.collect_list("stmt")).alias("stmts"))
+    )
+    return (
+        per_prop.groupBy("entity_id")
+        .agg(F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("prop", "stmts")))
+        ).alias("claims"))
+        .withColumn("claims_json", F.to_json("claims"))
+        .select("entity_id", "claims_json")
+    )
+
+
+def to_simple(statements: DataFrame, naming: DataFrame,
+              entity_col: str = "canonical_id") -> DataFrame:
+    """Replace prop/value ids with human names via the naming dimension.
+
+    ``naming(id, name)`` is the analog of the reference's naming KV store —
+    a small curated table, broadcast (never the shuffle partner of the
+    statement fact table).
+    """
+    prop_names = F.broadcast(naming.select(
+        F.col("id").alias("prop"), F.col("name").alias("prop_name")))
+    value_names = F.broadcast(naming.select(
+        F.col("id").alias("value"), F.col("name").alias("value_name")))
+    return (
+        statements
+        .join(prop_names, "prop", "left")
+        .join(value_names, "value", "left")
+        .select(
+            F.col(entity_col).alias("entity_id"),
+            F.coalesce("prop_name", "prop").alias("property"),
+            F.coalesce("value_name", "value").alias("value"),
+            "count",
+        )
+    )
+
+
+def to_codemeta(statements: DataFrame,
+                property_map: dict[str, str],
+                source_priority: list[str],
+                entity_col: str = "canonical_id") -> DataFrame:
+    """Codemeta-style flat projection: one best value per mapped property.
+
+    Ref: kb/converter.py:392-441 — property-mapped projection with
+    _select_best_value; here the A10 window picks the value, then a pivot
+    lands one column per codemeta field.
+    """
+    mapped = statements.filter(
+        F.col("prop").isin(*property_map.keys()))
+    best = best_value_per_property(mapped, source_priority,
+                                   entity_col=entity_col)
+    m = F.create_map(*[x for kv in property_map.items()
+                       for x in (F.lit(kv[0]), F.lit(kv[1]))])
+    best = best.withColumn("codemeta_field", m[F.col("prop")])
+    return (
+        best.groupBy(F.col(entity_col).alias("entity_id"))
+        .pivot("codemeta_field", list(dict.fromkeys(property_map.values())))
+        .agg(F.first("value"))
+    )

@@ -238,13 +238,17 @@ def build_nodes(
     return best
 
 
-def build_edges(triples: DataFrame, canon: DataFrame) -> DataFrame:
+def build_edges(triples: DataFrame, canon: DataFrame,
+                authority_keys: DataFrame | None = None) -> DataFrame:
     """J9 edge re-pointing: software-software triples become canonical edges.
 
     Both endpoints map through the canonical map (two joins — the map is a
     classic broadcast candidate but can be huge at web scale; AQE decides).
-    Unresolvable objects (never mentioned as subjects, e.g. a language) keep
-    a surface-hash id so the edge survives with provenance.
+    Objects that are not mention subjects (languages, persons, licenses)
+    resolve through the authority blocking-key dimension (broadcast) —
+    giving typed authority vertices like the reference's persons/licenses
+    collections; truly unresolvable objects keep a surface-hash id so the
+    edge survives with provenance.
     """
     cmap = canon.select("conv_id", "norm_surface", "canonical_id")
     t = (
@@ -261,13 +265,52 @@ def build_edges(triples: DataFrame, canon: DataFrame) -> DataFrame:
     edges = (
         t.join(src, ["conv_id", "subj_key"], "inner")
         .join(dst, ["conv_id", "obj_key"], "left")
-        .withColumn(
-            "dst_id",
-            F.coalesce("dst_id",
-                       F.concat(F.lit("v:"), F.sha2(F.col("obj_key"), 256).substr(1, 24))))
     )
+    if authority_keys is not None:
+        auth = (
+            authority_keys
+            .filter(F.col("method").isin("label", "alias"))
+            .groupBy(F.col("block_key").alias("obj_key"))
+            .agg(F.min("entity_id").alias("auth_entity"))
+        )
+        edges = edges.join(F.broadcast(auth), "obj_key", "left") \
+            .withColumn("dst_id", F.coalesce(
+                "dst_id", F.concat(F.lit("e:"), F.col("auth_entity")))) \
+            .drop("auth_entity")
+    edges = edges.withColumn(
+        "dst_id",
+        F.coalesce("dst_id",
+                   F.concat(F.lit("v:"), F.sha2(F.col("obj_key"), 256).substr(1, 24))))
     return (
         edges.groupBy(F.col("src_id"), F.col("dst_id"), F.col("pred").alias("rel"))
         .agg(F.count("*").cast("long").alias("count"),
              F.min("obj").alias("dst_surface"))
     )
+
+
+def augment_nodes_with_authority(
+    nodes: DataFrame, edges: DataFrame, authority_entities: DataFrame
+) -> DataFrame:
+    """Add authority-entity vertices referenced by edges but absent from the
+    mention-derived node table (languages/persons/licenses — the analog of
+    the reference's non-software vertex collections). Left-anti against
+    existing ids keeps the operation idempotent."""
+    referenced = (
+        edges.filter(F.col("dst_id").startswith("e:"))
+        .select(F.expr("substring(dst_id, 3)").alias("entity_id"))
+        .distinct()
+    )
+    extra = (
+        referenced.join(F.broadcast(authority_entities), "entity_id", "inner")
+        .select(
+            "entity_id",
+            F.concat(F.lit("e:"), F.col("entity_id")).alias("canonical_id"),
+            F.col("label"),
+            F.col("aliases"),
+            F.lit(0).cast("long").alias("n_mentions"),
+            F.lit(0).cast("long").alias("n_surfaces"),
+            F.col("entity_type"),
+        )
+        .join(nodes.select("canonical_id"), "canonical_id", "left_anti")
+    )
+    return nodes.unionByName(extra, allowMissingColumns=True)

@@ -1,0 +1,307 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The dedup family a web-scale training-data pipeline needs before a corpus
+feeds extraction. Design:
+
+  * exact: hash-groupBy on the normalized content fingerprint — one
+    shuffle, map-side partial agg.
+  * MinHash: k md5-derived hash slots over word shingles, all computed as
+    native higher-order functions (transform/array_min) — no Python.
+    LSH banding turns signature equality into an equi-join on
+    (band_idx, band_hash): candidate pairs come from a self-join on the
+    band bucket, NOT an O(n^2) cross join; verification computes exact
+    Jaccard only on candidates. Hot buckets (boilerplate docs) are the
+    skew risk — ``max_bucket`` caps pathological buckets explicitly, the
+    same concern the reference caps with MAX_INDEXED_CONTEXTS_PER_SOFTWARE
+    (kb_es_indexing.py:21), but as an explicit knob instead of silence.
+  * SimHash: 64-bit sign-aggregated token hashes via a vectorized pandas
+    UDF (numpy bit ops) — the one op here where per-bit SQL would be
+    unreadable and slower than Arrow-batched numpy.
+  * n-gram Jaccard: exact set overlap on shingles for candidate pairs.
+
+md5-based hashing keeps every signature reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from softcite_kb_spark.operators.textops import fingerprint, tokens
+
+DEFAULT_NUM_PERM = 16
+DEFAULT_BANDS = 4
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical (after normalization) documents.
+
+    Returns (fingerprint, group_size, doc_ids sorted, keep_id) for groups
+    with >1 member; ``keep_id`` = min doc id (deterministic survivor).
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").cast("long").alias("group_size"),
+             F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+             F.min(id_col).alias("keep_id"))
+        .filter(F.col("group_size") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep one row per normalized-content fingerprint (min id wins)."""
+    w_cols = df.columns
+    ranked = (
+        df.withColumn("__fp", fingerprint(F.col(text_col)))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__fp").orderBy(F.col(id_col))))
+    )
+    return ranked.filter(F.col("__rn") == 1).select(*w_cols)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (space-joined)."""
+    toks = tokens(text)
+    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+MINHASH_PRIME = 4294967311  # first prime > 2^32
+
+
+def minhash_params(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation coefficients (a, b), a,b < 2^31.
+
+    Derived from md5 so any SQL engine can re-derive them; bounded so
+    a*h + b stays under 2^63 (h < 2^32) — ANSI-mode overflow-safe.
+    """
+    import hashlib
+
+    out = []
+    for i in range(num_perm):
+        a = int(hashlib.md5(f"a:{i}".encode()).hexdigest()[:8], 16) % (2**31 - 1) + 1
+        b = int(hashlib.md5(f"b:{i}".encode()).hexdigest()[:8], 16) % (2**31)
+        out.append((a, b))
+    return out
+
+
+def _base_hash(s: Column) -> Column:
+    """32-bit base hash of a shingle: first 8 hex chars of md5.
+    One md5 per shingle total — permutations are affine mixes of it."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signature(
+    text: Column, num_perm: int = DEFAULT_NUM_PERM, shingle_n: int = 3
+) -> Column:
+    """array<long> MinHash signature; empty-shingle docs get NULL slots.
+
+    Classic affine-permutation MinHash: base = md5-derived 32-bit hash per
+    shingle (computed ONCE — the naive per-permutation-md5 formulation
+    recomputes shingles+md5 k times and benched 13x slower); slot_i =
+    min((a_i * base + b_i) mod P).
+    """
+    base = F.transform(shingles(text, shingle_n), _base_hash)
+    params = F.array(*[
+        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+        for a, b in minhash_params(num_perm)
+    ])
+    # Single fold over the shingle hashes. The naive form — one
+    # array_min(transform(base, mix_i)) per slot — duplicates the ``base``
+    # subexpression num_perm times after Catalyst's projection collapse
+    # (no CSE across the copies), i.e. recomputes every shingle md5 16x.
+    # Inside aggregate(), ``h`` is a bound lambda variable: evaluated once
+    # per shingle no matter how many slots read it.
+    # finish lambda maps the untouched PRIME sentinel (empty shingle set —
+    # mixes are always < PRIME) to NULL: array_min-over-empty semantics
+    # without referencing ``base`` a second time.
+    return F.aggregate(
+        base,
+        F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), num_perm),
+        lambda acc, h: F.zip_with(
+            acc, params,
+            lambda cur, p: F.least(
+                cur, (p["a"] * h + p["b"]) % F.lit(MINHASH_PRIME))),
+        lambda acc: F.transform(
+            acc, lambda x: F.when(x == F.lit(MINHASH_PRIME),
+                                  F.lit(None).cast("long")).otherwise(x)),
+    )
+
+
+def add_minhash(df: DataFrame, text_col: str = "text",
+                num_perm: int = DEFAULT_NUM_PERM, shingle_n: int = 3) -> DataFrame:
+    return df.withColumn("minhash", minhash_signature(
+        F.col(text_col), num_perm, shingle_n))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs via band-bucket self-join.
+
+    banding: ``bands`` bands of ``num_perm/bands`` rows; bucket key =
+    md5 of the band slice. Self-join per bucket with id< id to emit each
+    pair once. ``max_bucket`` drops degenerate buckets (all-identical
+    boilerplate) whose pair blowup is quadratic — those docs are caught by
+    exact dedup anyway.
+    """
+    rows_per_band = num_perm // bands
+    sig = add_minhash(df.select(id_col, text_col), text_col, num_perm, shingle_n)
+    # Materialization barrier, for two reasons that both bite at scale:
+    # (1) each band column subscripts ``minhash`` rows_per_band times, and
+    #     projection collapse would re-inline (= recompute) the whole
+    #     signature per reference — the repartition exchange materializes
+    #     the array once instead; (2) a small input (one parquet file =
+    #     one partition) would otherwise run the whole hash pipeline on a
+    #     single core.
+    sig = sig.select(id_col, "minhash").repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    band_cols = [
+        F.md5(F.concat_ws(
+            ",", *[F.col("minhash")[b * rows_per_band + r].cast("string")
+                   for r in range(rows_per_band)])).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col).alias("id"), *band_cols)
+    stacked = banded.selectExpr(
+        "id",
+        "stack({n}, {args}) as (band_idx, band_hash)".format(
+            n=bands,
+            args=", ".join(f"{b}, band_{b}" for b in range(bands))),
+    )
+    # skew guard: cap pathological buckets
+    sized = stacked.withColumn(
+        "bucket_n",
+        F.count("*").over(Window.partitionBy("band_idx", "band_hash")))
+    stacked = sized.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+    # self-join would recompute the signature scan on both sides — cut it
+    # (at cluster scale: persist to a scratch table instead)
+    stacked = stacked.localCheckpoint(eager=False)
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for given (id_a, id_b) candidate pairs."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("sh"))
+    j = (
+        pairs
+        .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"),
+              "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"),
+              "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / F.greatest(F.col("uni"), F.lit(1)), 6))
+        .select("id_a", "id_b", "jaccard")
+    )
+    return j.filter(F.col("jaccard") >= threshold) if threshold > 0 else j
+
+
+_SIMHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("simhash", T.LongType()),
+])
+
+
+def add_simhash(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document via an Arrow-batched pandas UDF.
+
+    Token hash = first 16 hex chars of md5 (stable across engines); each
+    bit contributes +1/-1; sign of the sum becomes the bit. numpy does the
+    bit matrix per batch — vectorized, no per-row Python beyond hashing.
+    """
+    import hashlib
+
+    import numpy as np
+
+    @F.pandas_udf(T.LongType())
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, txt in enumerate(texts):
+            toks = (txt or "").split()
+            if not toks:
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
+            for t in toks:
+                h = np.uint64(int(hashlib.md5(t.encode()).hexdigest()[:16], 16))
+                bits = (h >> shifts) & np.uint64(1)
+                acc += np.where(bits == np.uint64(1), 1, -1)
+            v = np.uint64(0)
+            for b in range(64):
+                if acc[b] > 0:
+                    v |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(v)
+        return pd.Series(out)
+
+    return df.withColumn("simhash", simhash_udf(F.col(text_col)))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Blocking: 4 x 16-bit chunks — two signatures within Hamming<=3 share at
+    least one identical chunk (pigeonhole), so candidates come from an
+    equi-join on (chunk_idx, chunk_value), never a cross join.
+    """
+    sh = add_simhash(df.select(id_col, text_col), id_col, text_col) \
+        .select(F.col(id_col).alias("id"), "simhash") \
+        .localCheckpoint(eager=False)  # don't run the UDF on both join sides
+    chunks = sh.selectExpr(
+        "id", "simhash",
+        "stack(4, 0, (simhash >> 0) & 65535, 1, (simhash >> 16) & 65535, "
+        "2, (simhash >> 32) & 65535, 3, (simhash >> 48) & 65535) "
+        "as (chunk_idx, chunk_val)")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cands = (
+        a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+               & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"))
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(
+            F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+(random-hyperplane) variant as the scale path: at 100 TB you never cross-
+join the corpus with itself — you bucket by hyperplane signs and only score
+within buckets (recall traded for a ~2^n_planes fan-in reduction).
+
+Dot products use ``aggregate(zip_with(...))`` higher-order functions —
+JVM-side, no UDF. Embedding-cosine near-dup dedup reuses the same kernels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0).cast("double"),
+                              lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity rounded to 6 decimals (oracle-comparable)."""
+    return F.round(
+        _dot(a, b) / F.greatest(_norm(a) * _norm(b), F.lit(1e-12)), 6)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query: broadcast queries x corpus, window
+    row_number <= k. Queries must be the small side (broadcast explicitly);
+    the corpus side streams — no corpus self-shuffle.
+    """
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(q),
+              F.col(id_col) != F.col(query_id_col))  # exclude self-match
+        .withColumn("cos", cosine(F.col(vec_col), F.col("__qv")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", "rank")
+    )
+
+
+def hyperplane_signs(
+    vec: Column, dim: int, n_planes: int = 8, seed: int = 13
+) -> Column:
+    """LSH bucket id from random-hyperplane sign bits.
+
+    Hyperplane components are deterministic pseudo-randoms derived from
+    md5(seed, plane, coord) — reproducible across engines and runs without
+    shipping a plane matrix.
+    """
+    import hashlib
+
+    def coef(p: int, c: int) -> float:
+        h = hashlib.md5(f"{seed}:{p}:{c}".encode()).hexdigest()[:8]
+        return (int(h, 16) / 0xFFFFFFFF) * 2.0 - 1.0
+
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        coeffs = F.array(*[F.lit(coef(p, c)) for c in range(dim)])
+        dp = _dot(vec.cast("array<double>"), coeffs)
+        bucket = bucket + F.when(dp > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: score only within the query's hyperplane bucket.
+
+    Equi-join on bucket replaces the cross join — the 100 TB path. Recall
+    loss is the LSH trade; lower n_planes = bigger buckets = higher recall.
+    """
+    cb = corpus.withColumn(
+        "bucket", hyperplane_signs(F.col(vec_col), dim, n_planes))
+    qb = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv")
+    ).withColumn("bucket", hyperplane_signs(F.col("__qv"), dim, n_planes))
+    scored = (
+        cb.select(id_col, vec_col, "bucket")
+        .join(F.broadcast(qb), "bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cos", cosine(F.col(vec_col), F.col("__qv")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via bucket self-join."""
+    b = df.select(id_col, vec_col).withColumn(
+        "bucket", hyperplane_signs(F.col(vec_col), dim, n_planes))
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .withColumn("cos", cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"), "cos")
+    )

@@ -1,0 +1,117 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Language-ID (stopword heuristic), quality scoring, token counting, and
+document fingerprinting over a ``documents(doc_id, text, ...)`` table.
+All pure Column expressions (whole-stage codegen; zero Python in the hot
+path), written so an ANSI-SQL oracle (DuckDB) can reproduce values exactly:
+float outputs are rounded to 6 decimals, hashes are md5-based.
+
+These have no direct reference analog (softcite_kb receives pre-mined text);
+they are the corpus-preparation stage a 100 TB transcript pipeline needs
+before extraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# NOTE: keep these lists in sync with the SQL oracles in __spark_entry__.py.
+STOPWORDS_EN = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "that",
+                "was", "for", "on", "with", "as", "at", "by", "be", "this")
+STOPWORDS_DE = ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit",
+                "von", "auf", "nicht", "ich", "sie", "es")
+STOPWORDS_FR = ("le", "la", "les", "et", "est", "un", "une", "de", "du", "des",
+                "que", "pas", "pour", "dans", "il")
+STOPWORDS_ES = ("el", "la", "los", "las", "y", "es", "un", "una", "de", "del",
+                "que", "no", "por", "para", "en")
+
+_PUNCT_CLASS = r"""[.,;:!?'"()\[\]\-]"""
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; the shared basis of every op here."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def _sw_count(toks: Column, words: tuple[str, ...]) -> Column:
+    # filter() higher-order function keeps this JVM-side
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(*words)))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token count + punctuation/digit ratios + per-language stopword ratios."""
+    out = (
+        df.withColumn("__toks", tokens(F.col(text_col)))
+        .withColumn("n_tokens", F.size("__toks"))
+        .withColumn("n_chars_calc", F.length(text_col))
+        .withColumn(
+            "punct_ratio",
+            F.round(
+                (F.length(text_col)
+                 - F.length(F.regexp_replace(F.col(text_col), _PUNCT_CLASS, "")))
+                / F.greatest(F.length(text_col), F.lit(1)), 6))
+        .withColumn(
+            "digit_ratio",
+            F.round(
+                (F.length(text_col)
+                 - F.length(F.regexp_replace(F.col(text_col), "[0-9]", "")))
+                / F.greatest(F.length(text_col), F.lit(1)), 6))
+    )
+    for lang, words in (("en", STOPWORDS_EN), ("de", STOPWORDS_DE),
+                        ("fr", STOPWORDS_FR), ("es", STOPWORDS_ES)):
+        out = out.withColumn(
+            f"sw_{lang}",
+            F.round(_sw_count(F.col("__toks"), words)
+                    / F.greatest(F.col("n_tokens"), F.lit(1)), 6))
+    return out.drop("__toks")
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality heuristic in [0,1]:
+    length saturation + low punctuation + stopword presence.
+
+    score = 0.4*min(1, n_tokens/64) + 0.3*(1 - min(1, punct_ratio*5))
+          + 0.3*min(1, sw_en*4)
+    """
+    s = text_stats(df, text_col)
+    return s.withColumn(
+        "quality",
+        F.round(
+            0.4 * F.least(F.lit(1.0), F.col("n_tokens") / 64.0)
+            + 0.3 * (1.0 - F.least(F.lit(1.0), F.col("punct_ratio") * 5.0))
+            + 0.3 * F.least(F.lit(1.0), F.col("sw_en") * 4.0), 6))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Argmax-stopword-ratio language ID with 'und' fallback.
+
+    Ties break by fixed priority en > de > fr > es (strictly-greater
+    comparisons in that order — reproducible in a SQL CASE).
+    """
+    s = text_stats(df, text_col)
+    mx = F.greatest("sw_en", "sw_de", "sw_fr", "sw_es")
+    return s.withColumn(
+        "lang_pred",
+        F.when(mx <= 0.0, F.lit("und"))
+        .when(F.col("sw_en") == mx, F.lit("en"))
+        .when(F.col("sw_de") == mx, F.lit("de"))
+        .when(F.col("sw_fr") == mx, F.lit("fr"))
+        .otherwise(F.lit("es")))
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized content fingerprint: md5 of lower-cased alnum-only text.
+
+    The exact-dedup key (dropDuplicates on it = hash dedup); md5 keeps the
+    DuckDB oracle bit-identical.
+    """
+    return F.md5(F.lower(F.regexp_replace(text, "[^a-zA-Z0-9]", "")))
+
+
+def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("fingerprint", fingerprint(F.col(text_col)))

@@ -140,6 +140,12 @@ class KGPipeline:
 
     def stage_extract(self) -> None:
         transcripts = self.store.read(self.spark, "transcripts")
+        # conv_id partitioning (north_star): spreads hot conversations'
+        # files across cores and co-locates each conversation for the
+        # fold/ordering steps; hash(conv_id) is effectively a salt over
+        # any skewed input file layout.
+        par = self.spark.sparkContext.defaultParallelism
+        transcripts = transcripts.repartition(par, "conv_id")
         triples = ex.extract_triples(transcripts, self._blacklist_df())
         self.store.write(triples, "triples")
         triples = self.store.read(self.spark, "triples")  # re-read: cut lineage
@@ -174,9 +180,12 @@ class KGPipeline:
         self.store.write(stmts, "statements")
         nodes = cz.build_nodes(canon, self.store.read(self.spark, "statements"),
                                authority_entities=auth)
-        self.store.write(nodes, "nodes")
-        edges = cz.build_edges(triples, canon)
+        edges = cz.build_edges(triples, canon,
+                               authority_keys=lk.authority_block_keys(auth))
         self.store.write(edges, "edges")
+        edges = self.store.read(self.spark, "edges")
+        nodes = cz.augment_nodes_with_authority(nodes, edges, auth)
+        self.store.write(nodes, "nodes")
         self._write_metrics("canonicalize",
                             self.store.read(self.spark, "nodes"), "nodes")
 

@@ -45,6 +45,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local-scale fidelity: the test/bench parquet files are a few MB;
+        # the 128 MB default packs each into ONE split and serializes the
+        # whole scan on one core. 8 MB splits keep small-file runs parallel;
+        # at real cluster scale inputs are many-hundreds-of-files and this
+        # only adds harmless extra splits.
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -92,8 +92,9 @@ class TableStore:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
-        # row count from the written files (one scan, columnar count-only)
-        n = df.sparkSession.read.parquet(data_dir).count()
+        # row count from parquet footers (metadata-only; a spark re-scan
+        # per commit would double every stage's write cost)
+        n = self._parquet_row_count(data_dir)
         snap = Snapshot(
             snapshot_id=sid,
             table=table,
@@ -111,6 +112,17 @@ class TableStore:
             if os.path.isdir(s["path"]):
                 shutil.rmtree(s["path"], ignore_errors=True)
         return snap
+
+    @staticmethod
+    def _parquet_row_count(data_dir: str) -> int:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for root, _dirs, files in os.walk(data_dir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        return total
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         snap = self.current_snapshot(table)

@@ -114,6 +114,28 @@ def test_statement_count_summing(spark):
     assert r.value == "Py- thon"
 
 
+def test_edges_resolve_objects_via_authority(spark, corpus):
+    triples, linked = _pipeline_frames(spark, corpus)
+    canon = cz.canonical_map(linked)
+    keys = lk.authority_block_keys(corpus["authority_entities"])
+    edges = cz.build_edges(triples, canon, authority_keys=keys)
+    wi = edges.filter(F.col("rel") == "written_in")
+    assert wi.count() > 0
+    # languages are authority entities -> typed e: vertices, not hashes
+    assert wi.filter(~F.col("dst_id").startswith("e:")).count() == 0
+    stmts = cz.fold_statements(triples, canon)
+    nodes = cz.build_nodes(canon, stmts, corpus["authority_entities"])
+    aug = cz.augment_nodes_with_authority(
+        nodes, edges, corpus["authority_entities"])
+    nid = aug.select(F.col("canonical_id").alias("id"))
+    dangling = (edges.filter(F.col("dst_id").startswith("e:"))
+                .join(nid, edges.dst_id == nid.id, "left_anti").count())
+    assert dangling == 0
+    # idempotent
+    assert cz.augment_nodes_with_authority(
+        aug, edges, corpus["authority_entities"]).count() == aug.count()
+
+
 def test_nodes_and_edges_materialize(spark, corpus):
     triples, linked = _pipeline_frames(spark, corpus)
     canon = cz.canonical_map(linked)

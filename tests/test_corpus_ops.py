@@ -1,0 +1,150 @@
+"""Tests for training-data-pipeline operators: text analysis, dedup
+(exact/minhash/simhash/jaccard), similarity search, multimodal plumbing."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from softcite_kb_spark.operators import dedup, multimodal, similarity, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog in the park"),
+        (2, "the quick brown fox jumps over the lazy dog in the park"),  # exact dup of 1
+        (3, "The quick brown fox jumps over the lazy dog in the park!"),  # norm-dup of 1
+        (4, "the quick brown fox jumps over the lazy cat in the park"),   # near-dup
+        (5, "der hund ist ein guter freund und die katze auch nicht"),
+        (6, "le chat est dans la maison et il ne sort pas du tout"),
+        (7, "completely different content about spark query planning engines"),
+        (8, "12345 67890 !!! ???"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert sorted(g.doc_ids) == [1, 2, 3] and g.keep_id == 1
+    kept = dedup.dedup_exact(docs)
+    assert kept.count() == 6
+    assert {r.doc_id for r in kept.select("doc_id").collect()} == {1, 4, 5, 6, 7, 8}
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = dedup.lsh_candidate_pairs(docs, num_perm=16, bands=8, shingle_n=2)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got
+    # verify with exact jaccard
+    j = dedup.jaccard_pairs(docs, pairs, shingle_n=2)
+    jm = {(r.id_a, r.id_b): r.jaccard for r in j.collect()}
+    assert jm[(1, 2)] == 1.0
+    assert 0.3 < jm.get((1, 4), jm.get((4, 1), 0.5)) < 1.0 or (1, 4) not in jm
+
+
+def test_simhash_near_pairs(spark, docs):
+    pairs = similarity and dedup.simhash_near_pairs(docs, max_hamming=8)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+    # near-dup doc 4 within a few bits of 1; unrelated docs far away
+    if (1, 4) in got:
+        assert got[(1, 4)] <= 8
+    assert (1, 7) not in got
+
+
+def test_text_stats_and_quality(spark, docs):
+    q = textops.quality_score(docs)
+    rows = {r.doc_id: r for r in q.collect()}
+    assert rows[1].n_tokens == 12
+    assert rows[8].punct_ratio > 0.2
+    assert rows[1].quality > rows[8].quality
+    assert 0.0 <= rows[8].quality <= 1.0
+
+
+def test_lang_id(spark, docs):
+    lid = textops.lang_id(docs)
+    got = {r.doc_id: r.lang_pred for r in lid.collect()}
+    assert got[1] == "en" and got[5] == "de" and got[6] == "fr"
+    assert got[8] == "und"
+
+
+def test_fingerprint_normalization(spark, docs):
+    fp = textops.add_fingerprint(docs).collect()
+    m = {r.doc_id: r.fingerprint for r in fp}
+    assert m[1] == m[2] == m[3]
+    assert m[1] != m[4]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(20, 8))
+    base[1] = base[0] * 2.0 + 0.001          # near-parallel to 0
+    pdf = pd.DataFrame({
+        "vec_id": range(20),
+        "embedding": [row.astype("float32").tolist() for row in base],
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_brute_force_topk(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") == 0) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    got = similarity.brute_force_topk(vectors, queries, k=3).collect()
+    assert len(got) == 3
+    assert got[0].vec_id == 1 and got[0].rank == 1  # the planted neighbor
+    assert got[0].cos > 0.99
+
+
+def test_lsh_topk_subset_of_bucket(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") == 0) \
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    approx = similarity.lsh_topk(vectors, queries, dim=8, k=3, n_planes=2)
+    rows = approx.collect()
+    assert all(r.query_id == 0 for r in rows)
+    # planted near-parallel vector lands in the same half-space bucket
+    assert any(r.vec_id == 1 for r in rows)
+
+
+def test_embedding_near_dup(spark, vectors):
+    pairs = similarity.embedding_near_dup_pairs(
+        vectors, dim=8, threshold=0.99, n_planes=2).collect()
+    assert any((p.id_a, p.id_b) == (0, 1) for p in pairs)
+
+
+def test_multimodal_decode_roundtrip(spark):
+    media = multimodal.synthesize_media(spark, n=30)
+    decoded = multimodal.decode_media(media)
+    joined = decoded.join(media.select("media_id",
+                                       F.col("kind").alias("kind_true"),
+                                       "meta"), "media_id")
+    rows = joined.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r.kind == r.kind_true
+        assert r.width == r.meta.declared_width
+        assert r.height == r.meta.declared_height
+
+
+def test_multimodal_malformed_dropped(spark):
+    media = multimodal.synthesize_media(spark, n=6)
+    bad = media.withColumn(
+        "payload",
+        F.when(F.col("media_id") < 2, F.lit(bytearray(b"nonsense")))
+        .otherwise(F.col("payload")))
+    assert multimodal.decode_media(bad).count() == 4
+    kept_null = multimodal.decode_media(bad, drop_malformed=False)
+    assert kept_null.count() == 6
+    assert kept_null.filter(F.col("kind").isNull()).count() == 2
+
+
+def test_frame_sample(spark):
+    media = multimodal.synthesize_media(spark, n=12)
+    frames = dedup and multimodal.frame_sample(media, every_n=2)
+    rows = frames.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.frame_idx % 2 == 0 and r.frame_idx < r.n_frames

@@ -1,0 +1,147 @@
+"""Tests for sources (JSONL dump, kv-records, entity lists), converters
+(claims JSON / simple / codemeta), and the api-query library."""
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from softcite_kb_spark.kb import converter as cv
+from softcite_kb_spark.queries import api_queries as aq
+from softcite_kb_spark.sources import jsonl as js
+from softcite_kb_spark.sources import records as rc
+
+
+@pytest.fixture(scope="module")
+def dump_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dump")
+    p = os.path.join(d, "dump.json")
+    with open(p, "w") as f:
+        f.write("[\n")
+        f.write(json.dumps({"id": "Q1", "labels": "Statlib"}) + ",\n")
+        f.write(json.dumps({"id": "Q2", "labels": "Dataforge"}) + ",\n")
+        f.write("THIS IS NOT JSON\n")
+        f.write(json.dumps({"id": "Q3", "labels": "Graphkit"}) + "\n")
+        f.write("]\n")
+    return p
+
+
+def test_jsonl_dump_tolerant_parse(spark, dump_file):
+    schema = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("labels", T.StringType()),
+    ])
+    out = js.read_jsonl_dump(spark, dump_file, schema)
+    rows = out.collect()
+    parsed = [r.entity.id for r in rows if r.entity is not None
+              and r.entity.id is not None]
+    corrupt = [r._corrupt for r in rows if r._corrupt is not None]
+    assert sorted(parsed) == ["Q1", "Q2", "Q3"]
+    assert corrupt == ["THIS IS NOT JSON"]
+
+
+def test_mongoexport_oid_rewrite(spark, tmp_path):
+    p = os.path.join(tmp_path, "annotations.jsonl")
+    with open(p, "w") as f:
+        f.write(json.dumps({"_id": {"$oid": "abc123"}, "name": "numpy"}) + "\n")
+        f.write(json.dumps({"_id": {"$oid": "def456"}, "name": "scipy"}) + "\n")
+    df = js.read_mongoexport(spark, p)
+    got = {r._key: r.name for r in df.collect()}
+    assert got == {"abc123": "numpy", "def456": "scipy"}
+
+
+def test_entity_list_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(pd.DataFrame({"eid": ["Q1", "Q2", "Q2", "Q3"]}))
+    path = os.path.join(tmp_path, "entities")
+    js.write_entity_list(df, "eid", path)
+    back = js.read_entity_list(spark, path)
+    assert sorted(r.entity_id for r in back.collect()) == ["Q1", "Q2", "Q3"]
+
+
+def test_kv_records_parse(spark, tmp_path):
+    p = os.path.join(tmp_path, "PACKAGES")
+    with open(p, "w") as f:
+        f.write("Package: knitr\nVersion: 1.43\nDepends: R (>= 3.3.0), "
+                "evaluate (>= 0.15)\nSuggests: markdown,\n rmarkdown\n")
+        f.write("\n")
+        f.write("Package: ggplot2\nVersion: 3.4.2\nDepends: R (>= 3.3)\n")
+    df = rc.read_kv_records(spark, str(p), keys=["Package", "Version", "Depends"])
+    rows = {r.package: r for r in df.collect()}
+    assert rows["knitr"].version == "1.43"
+    assert rows["ggplot2"].version == "3.4.2"
+    # continuation line folded
+    assert "rmarkdown" in rows["knitr"]["fields"]["Suggests"]
+    deps = df.filter(F.col("package") == "knitr").select(
+        rc.parse_dependency_field(F.col("depends")).alias("d")).first().d
+    assert deps == ["evaluate"]  # 'R' dropped, version constraint stripped
+
+
+@pytest.fixture(scope="module")
+def statements(spark):
+    pdf = pd.DataFrame({
+        "canonical_id": ["e:Q1", "e:Q1", "e:Q1", "e:Q2"],
+        "prop": ["P277", "P277", "P275", "P277"],
+        "value": ["Python", "Rust", "MIT", "Scala"],
+        "datatype": ["string"] * 4,
+        "source": ["transcripts", "wikidata", "transcripts", "transcripts"],
+        "count": [5, 2, 1, 3],
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_claims_json_nesting(spark, statements):
+    out = {r.entity_id: json.loads(r.claims_json)
+           for r in cv.to_claims_json(statements).collect()}
+    q1 = out["e:Q1"]
+    assert set(q1.keys()) == {"P275", "P277"}
+    assert len(q1["P277"]) == 2
+    vals = {s["value"] for s in q1["P277"]}
+    assert vals == {"Python", "Rust"}
+    ref = q1["P275"][0]["references"][0]
+    assert ref["P248"] == "transcripts" and ref["count"] == 1
+
+
+def test_simple_format_naming_join(spark, statements):
+    naming = spark.createDataFrame(pd.DataFrame({
+        "id": ["P277", "P275"],
+        "name": ["programming language", "license"],
+    }))
+    out = cv.to_simple(statements, naming).collect()
+    props = {r.property for r in out}
+    assert props == {"programming language", "license"}
+
+
+def test_codemeta_projection(spark, statements):
+    out = cv.to_codemeta(
+        statements,
+        {"P277": "programmingLanguage", "P275": "license"},
+        source_priority=["wikidata", "transcripts"],
+    ).collect()
+    rows = {r.entity_id: r for r in out}
+    # wikidata-sourced value wins by priority even with lower count
+    assert rows["e:Q1"].programmingLanguage == "Rust"
+    assert rows["e:Q1"].license == "MIT"
+    assert rows["e:Q2"].programmingLanguage == "Scala"
+
+
+def test_api_queries_shapes(spark):
+    edges = spark.createDataFrame(pd.DataFrame({
+        "src_id": ["a", "a", "b", "c", "a"],
+        "dst_id": ["x", "x", "x", "y", "y"],
+        "rel": ["cites"] * 5,
+        "count": [1, 2, 1, 1, 1],
+    }))
+    top = aq.top_entities_by_count(edges, key="dst_id", n=1).collect()
+    assert top[0].entity == "x" and top[0].cnt == 3
+    grouped = aq.group_into_lists(edges, "src_id", "dst_id", n=10).collect()
+    byg = {r.grp: r for r in grouped}
+    assert byg["a"].n_items == 3 and byg["a"]["items"] == ["x", "x", "y"]
+    hop = aq.two_hop(
+        edges, spark.createDataFrame(pd.DataFrame({
+            "src_id": ["x"], "dst_id": ["z"], "rel": ["dep"]})))
+    rows = hop.collect()
+    assert all(r.via_id == "x" and r.end_id == "z" for r in rows)
+    assert {r.start_id for r in rows} == {"a", "b"}
