@@ -40,6 +40,10 @@ def _synthetic_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     line, 'PartX depends on PartY.' — the extraction surface with an exact
     SQL-reconstructible ground truth."""
     li = _t(spark, sf_dir, "lineitem")
+    # the testdata file has ~3 row groups -> at most 3 scan splits; spread
+    # the regex-heavy extraction across all cores (the real pipeline gets
+    # this from its conv_id repartition, plans/pipeline.py)
+    li = li.repartition(spark.sparkContext.defaultParallelism)
     return li.select(
         F.col("l_orderkey").cast("string").alias("conv_id"),
         F.col("l_linenumber").alias("turn_idx"),
@@ -357,6 +361,113 @@ def q28_lsh_topk(spark, sf_dir):
     return sim.lsh_topk(e, q, dim=64, k=5, n_planes=4)
 
 
+def q29_facet_cube(spark, sf_dir):
+    """Facet aggregation via CUBE — the native rebuild of the reference's
+    ES facet aggs (doc/example-api.md:33-60; SURVEY.md 2.4 note)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("year", F.year("ts"))
+        .cube("event_type", "year")
+        .agg(F.count("*").cast("long").alias("n"))
+        # cube NULLs encode "all" — coalesce to sentinels so the oracle
+        # comparison is NULL-semantics-free (and pandas doesn't float-ify
+        # the int column)
+        .select(F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+                F.coalesce("year", F.lit(-1)).alias("year"), "n")
+    )
+
+
+def q30_doc_blocking_selfjoin(spark, sf_dir):
+    """J1/J2 blocking-key self-join for dedup candidate pairs
+    (merge.py:40-73; key analog of title_author_key,
+    populate_staging_area.py:879-897). Duplicates planted as in q18."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    allx = d.unionByName(planted).withColumn(
+        "bkey", F.substring(block_key(F.col("text")), 1, 24))
+    a = allx.alias("a")
+    b = allx.alias("b")
+    return (
+        a.join(b, (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.col("a.bkey").alias("bkey"))
+    )
+
+
+def q31_two_hop(spark, sf_dir):
+    """J10 2-hop traversal as a join chain (kb_es_indexing.py:280-304):
+    customer -> orders -> lineitem -> distinct parts touched."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+             F.count("*").cast("long").alias("n_lines"))
+        .orderBy(F.desc("n_parts"), F.asc("c_custkey"))
+        .limit(25)
+    )
+
+
+def q32_props_json(spark, sf_dir):
+    """F17 JSON field extraction from the ragged props column."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.regexp_extract("props", r'"k": (\d+)', 1)
+                     .cast("long"))
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("long").alias("sum_k"),
+             F.count("*").cast("long").alias("n"))
+    )
+
+
+def q33_capitalized_variant(spark, sf_dir):
+    """F4 ALL-CAPS -> Title Case variant (merge.py:299-318)."""
+    from softcite_kb_spark.functions.text import capitalized_variant
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("caps_name"),
+        capitalized_variant(F.upper("p_name")).alias("variant"),
+    )
+
+
+def q34_hyphen_variant(spark, sf_dir):
+    """F5 hyphen<->space variant, exactly-one-separator rule (merge.py:320-335)."""
+    from softcite_kb_spark.functions.text import hyphen_variant
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", "p_name",
+        hyphen_variant(F.col("p_name")).alias("variant"),
+    )
+
+
+def q35_event_sessions(spark, sf_dir):
+    """Gap-based sessionization via lag window (stream-analog in batch):
+    a new session starts after a >30min silence; count sessions per user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(F.col("prev_ts").isNull(), 1)
+            .when(F.col("ts").cast("timestamp").cast("long")
+                  - F.col("prev_ts").cast("timestamp").cast("long")
+                  > 1800, 1).otherwise(0))
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(F.sum("new_sess").cast("long").alias("n_sessions"),
+             F.count("*").cast("long").alias("n_events"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: stage-1 extraction + fold + A1 ranking on sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -401,6 +512,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_simhash_near_pairs": q26_simhash_near_pairs,
         "q27_multimodal_decode": q27_multimodal_decode,
         "q28_lsh_topk": q28_lsh_topk,
+        "q29_facet_cube": q29_facet_cube,
+        "q30_doc_blocking_selfjoin": q30_doc_blocking_selfjoin,
+        "q31_two_hop": q31_two_hop,
+        "q32_props_json": q32_props_json,
+        "q33_capitalized_variant": q33_capitalized_variant,
+        "q34_hyphen_variant": q34_hyphen_variant,
+        "q35_event_sessions": q35_event_sessions,
     }
 
 
@@ -683,6 +801,87 @@ def oracle_sql() -> dict[str, str]:
                    'depends_on' AS pred,
                    'Part' || l_suppkey AS obj
             FROM lineitem
+        """,
+        "q29_facet_cube": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(year(ts)::INT, -1) AS year,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY CUBE(event_type, year(ts)::INT)
+        """,
+        "q30_doc_blocking_selfjoin": """
+            WITH allx AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25
+            ), keyed AS (
+              SELECT doc_id,
+                     substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                               1, 24) AS bkey
+              FROM allx
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.bkey AS bkey
+            FROM keyed a JOIN keyed b
+              ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+        """,
+        "q31_two_hop": """
+            SELECT c_custkey,
+                   count(DISTINCT l_partkey)::BIGINT AS n_parts,
+                   count(*)::BIGINT AS n_lines
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+            ORDER BY n_parts DESC, c_custkey ASC LIMIT 25
+        """,
+        "q32_props_json": """
+            SELECT event_type,
+                   sum(regexp_extract(props, '"k": (\\d+)', 1)::BIGINT)::BIGINT
+                     AS sum_k,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1
+        """,
+        "q33_capitalized_variant": """
+            SELECT p_partkey, upper(p_name) AS caps_name,
+                   CASE WHEN upper(p_name) = upper(upper(p_name))
+                         AND upper(p_name) <> title
+                        THEN title END AS variant
+            FROM (
+              SELECT p_partkey, p_name,
+                     array_to_string(
+                       list_transform(string_split(lower(p_name), ' '),
+                         w -> upper(substring(w, 1, 1)) || substring(w, 2)),
+                       ' ') AS title
+              FROM part
+            )
+        """,
+        "q34_hyphen_variant": """
+            SELECT p_partkey, p_name,
+              CASE
+                WHEN length(p_name) - length(replace(p_name, '-', '')) = 1
+                 AND length(p_name) - length(replace(p_name, ' ', '')) = 0
+                THEN replace(p_name, '-', ' ')
+                WHEN length(p_name) - length(replace(p_name, ' ', '')) = 1
+                 AND length(p_name) - length(replace(p_name, '-', '')) = 0
+                THEN replace(p_name, ' ', '-')
+              END AS variant
+            FROM part
+        """,
+        "q35_event_sessions": """
+            WITH s AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ts
+              FROM events
+            ), flags AS (
+              SELECT user_id,
+                     CASE WHEN prev_ts IS NULL THEN 1
+                          WHEN epoch(ts) - epoch(prev_ts) > 1800 THEN 1
+                          ELSE 0 END AS new_sess
+              FROM s
+            )
+            SELECT user_id, sum(new_sess)::BIGINT AS n_sessions,
+                   count(*)::BIGINT AS n_events
+            FROM flags GROUP BY 1
         """,
         "q24_fold_mentions_synthetic": """
             WITH m AS (

@@ -134,27 +134,34 @@ def extract_triples(
     always; obj except for has_version whose object is a version literal).
     """
     pats = patterns or TRIPLE_PATTERNS
-    branches = []
     base = transcripts.select("conv_id", "turn_idx", "text")
-    for pred, pat in pats:
+    # ONE scan: per-pattern match arrays are tagged with their predicate and
+    # concatenated, then exploded once. A union of per-pattern branches
+    # would re-scan the input once per pattern (6x I/O at 100 TB).
+    def tag(pred: str, pat: str):
+        # factory keeps the lambda single-arg: transform() reinterprets a
+        # second lambda param as the element index
         pairs = F.arrays_zip(
             F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(1)).alias("s"),
             F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(2)).alias("o"),
         )
-        branches.append(
-            base.select(
-                "conv_id", "turn_idx", F.explode(pairs).alias("m")
-            ).select(
-                "conv_id",
-                "turn_idx",
-                F.col("m.s").alias("subj"),
-                F.lit(pred).alias("pred"),
-                F.col("m.o").alias("obj"),
-            )
+        return F.transform(
+            pairs,
+            lambda m: F.struct(m["s"].alias("subj"),
+                               F.lit(pred).alias("pred"),
+                               m["o"].alias("obj")),
         )
-    triples = branches[0]
-    for b in branches[1:]:
-        triples = triples.unionByName(b)
+
+    tagged = [tag(pred, pat) for pred, pat in pats]
+    triples = (
+        base.select(
+            "conv_id", "turn_idx",
+            F.explode(F.concat(*tagged)).alias("m"))
+        .select("conv_id", "turn_idx",
+                F.col("m.subj").alias("subj"),
+                F.col("m.pred").alias("pred"),
+                F.col("m.obj").alias("obj"))
+    )
     triples = _blacklist_filter(triples, "subj", blacklist)
     name_obj = _blacklist_filter(
         triples.filter(F.col("pred") != PRED_VERSION), "obj", blacklist

@@ -51,6 +51,9 @@ def get_spark(
         # at real cluster scale inputs are many-hundreds-of-files and this
         # only adds harmless extra splits.
         .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        # ...and ask for at least one split per core even when the input is
+        # a single small file (advisory; Spark splits parquet by row group)
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
     )
     if extra_conf:
         for k, v in extra_conf.items():
