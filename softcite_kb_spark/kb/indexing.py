@@ -1,0 +1,89 @@
+"""Search-index feed: flatten KB entities for full-text/facet search.
+
+Reference analog: indexing/kb_es_indexing.py (388 LoC) — flattens each
+entity into an ES document (labels, authors via actor-edge join, mention
+contexts via citation-edge join, languages via naming join, timeline
+histogram, and an ``all`` catch-all text field), bulk-indexed in chunks.
+
+Here the flatten is one multi-join DataFrame program writing an
+index-feed table (S11's bulk chunking is the sink's concern — a real
+deployment points an ES/OpenSearch Spark connector or a search service's
+bulk loader at this table). The 20k-contexts-per-software cap
+(kb_es_indexing.py:21) becomes an explicit per-entity top-k window —
+skew-bounded but deterministic, not silent truncation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def flatten_for_search(
+    nodes: DataFrame,
+    edges: DataFrame,
+    statements: DataFrame,
+    max_contexts: int = 20_000,
+) -> DataFrame:
+    """One flat searchable row per node.
+
+    Columns: canonical_id, label, aliases_text, entity_type, n_mentions,
+    langs, rel_counts (map rel->count), contexts_sample, all (concat).
+    """
+    langs = (
+        statements.filter(F.col("prop") == "written_in")
+        .groupBy("canonical_id")
+        .agg(F.sort_array(F.collect_set("value")).alias("langs"))
+    )
+    rel_counts = (
+        edges.groupBy(F.col("src_id").alias("canonical_id"), "rel")
+        .agg(F.sum("count").cast("long").alias("n"))
+        .groupBy("canonical_id")
+        .agg(F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("rel", "n")))).alias("rel_counts"))
+    )
+    # per-entity top-k contexts (dst surfaces) — the explicit version of the
+    # reference's hot-entity truncation cap
+    wk = Window.partitionBy("src_id").orderBy(F.desc("count"), F.asc("dst_surface"))
+    contexts = (
+        edges.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= max_contexts)
+        .groupBy(F.col("src_id").alias("canonical_id"))
+        .agg(F.sort_array(F.collect_list("dst_surface")).alias("contexts_sample"))
+    )
+    flat = (
+        nodes
+        .join(langs, "canonical_id", "left")
+        .join(rel_counts, "canonical_id", "left")
+        .join(contexts, "canonical_id", "left")
+        .withColumn("aliases_text", F.concat_ws(" ", "aliases"))
+        .withColumn(
+            "all",
+            F.concat_ws(
+                " ",
+                F.col("label"),
+                F.col("aliases_text"),
+                F.concat_ws(" ", F.coalesce(
+                    F.col("langs"), F.array().cast("array<string>"))),
+                F.concat_ws(" ", F.coalesce(
+                    F.col("contexts_sample"), F.array().cast("array<string>"))),
+            ),
+        )
+        .select("canonical_id", "label", "aliases_text", "entity_type",
+                "n_mentions", "langs", "rel_counts", "contexts_sample", "all")
+    )
+    return flat
+
+
+def search(flat: DataFrame, query: str, k: int = 10) -> DataFrame:
+    """Minimal full-text search over the feed: token-AND match on ``all``
+    ranked by n_mentions (the reference delegates this to ES; this is the
+    native fallback so the API surface is complete without a sidecar)."""
+    cond = F.lit(True)
+    for tok in query.lower().split():
+        cond = cond & F.lower(F.col("all")).contains(tok)
+    return (
+        flat.filter(cond)
+        .orderBy(F.desc("n_mentions"), F.asc("canonical_id"))
+        .limit(k)
+    )
