@@ -468,6 +468,55 @@ def q35_event_sessions(spark, sf_dir):
     )
 
 
+def q36_claims_json_export(spark, sf_dir):
+    """P8 export converter: statement rows -> nested Wikidata-style claims
+    JSON (kb/converter.py analog; rows-only — JSON text formatting is
+    engine-specific)."""
+    from softcite_kb_spark.kb.converter import to_claims_json
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    stmts = li.select(
+        F.col("l_partkey").alias("canonical_id"),
+        F.lit("supplier").alias("prop"),
+        F.col("l_suppkey").cast("string").alias("value"),
+        F.lit("string").alias("datatype"),
+        F.col("l_returnflag").alias("source"),
+        F.col("l_quantity").cast("long").alias("count"),
+    )
+    return to_claims_json(stmts)
+
+
+def q37_search_flatten(spark, sf_dir):
+    """P6/S11 search flatten over a KB synthesized from lineitem
+    (rows-only: map/array columns)."""
+    from softcite_kb_spark.kb.indexing import flatten_for_search
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    nodes = p.select(
+        F.concat(F.lit("P"), F.col("p_partkey")).alias("canonical_id"),
+        F.col("p_name").alias("label"),
+        F.array("p_brand").alias("aliases"),
+        F.lit("part").alias("entity_type"),
+        F.lit(1).cast("long").alias("n_mentions"),
+    )
+    edges = (
+        li.groupBy(
+            F.concat(F.lit("P"), F.col("l_partkey")).alias("src_id"),
+            F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst_id"))
+        .agg(F.count("*").cast("long").alias("count"))
+        .withColumn("rel", F.lit("supplied_by"))
+        .withColumn("dst_surface", F.col("dst_id"))
+    )
+    stmts = li.select(
+        F.concat(F.lit("P"), F.col("l_partkey")).alias("canonical_id"),
+        F.lit("written_in").alias("prop"),
+        F.col("l_returnflag").alias("value"),
+        F.lit("string").alias("datatype"),
+        F.lit("li").alias("source"),
+        F.lit(1).cast("long").alias("count"),
+    )
+    return flatten_for_search(nodes, edges, stmts, max_contexts=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: stage-1 extraction + fold + A1 ranking on sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -519,6 +568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_capitalized_variant": q33_capitalized_variant,
         "q34_hyphen_variant": q34_hyphen_variant,
         "q35_event_sessions": q35_event_sessions,
+        "q36_claims_json_export": q36_claims_json_export,
+        "q37_search_flatten": q37_search_flatten,
     }
 
 

@@ -85,11 +85,15 @@ def connected_components(
                 (F.col("nbr_min") < F.col("component_id")).alias("changed"),
             )
         )
-        if checkpoint_every and (i % checkpoint_every == 0):
+        if checkpoint_every and (i % checkpoint_every == checkpoint_every - 1):
+            # the checkpoint is the round's materialization (cuts lineage);
+            # the probe below then reads cached blocks only
             new_labels = new_labels.localCheckpoint(eager=True)
-        n_changed = new_labels.filter(F.col("changed")).count()
+        # convergence probe: take(1) short-circuits at the first changed row
+        # instead of scanning everything for a full count
+        converged = len(new_labels.filter(F.col("changed")).take(1)) == 0
         labels = new_labels.drop("changed")
-        if n_changed == 0:
+        if converged:
             break
     return labels
 

@@ -113,6 +113,31 @@ class TableStore:
                 shutil.rmtree(s["path"], ignore_errors=True)
         return snap
 
+    def merge(
+        self,
+        df: DataFrame,
+        table: str,
+        key_cols: list[str],
+        properties: dict[str, Any] | None = None,
+    ) -> Snapshot:
+        """Upsert semantics (Iceberg ``MERGE INTO`` analog): rows in ``df``
+        replace current rows with the same key; unmatched current rows are
+        kept. This is the reference's incremental re-import
+        (``collection.has(key)`` guards, Readme.md:261-265) made
+        transactional — the merge is one new snapshot, resumable like any
+        stage output. First merge into an empty table = plain write.
+        """
+        if not self.exists(table):
+            return self.write(df, table, properties)
+        current = self.read(df.sparkSession, table)
+        kept = current.join(
+            df.select(*key_cols).distinct(), key_cols, "left_anti")
+        merged = kept.unionByName(df)
+        props = dict(properties or {})
+        props["operation"] = "merge"
+        props["merge_keys"] = key_cols
+        return self.write(merged, table, props)
+
     @staticmethod
     def _parquet_row_count(data_dir: str) -> int:
         import pyarrow.parquet as pq
