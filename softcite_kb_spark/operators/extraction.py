@@ -221,6 +221,72 @@ def extract_triples_pandas(
     )
 
 
+def extract_mentions_gazetteer(
+    transcripts: DataFrame,
+    authority_entities: DataFrame,
+    extra_surfaces: Iterable[str] = (),
+) -> DataFrame:
+    """Gazetteer mention detection: find authority labels/aliases (and
+    their case/hyphen variants) anywhere in turn text, independent of the
+    triple trigger phrases.
+
+    This is the in-engine analog of the reference's externally-supplied ML
+    mention recognizer (software_mention_import.py ingests its output) —
+    the curated-dictionary detector a KG pipeline runs when no recognizer
+    service exists. Implementation: the surface list (small, curated) is
+    compiled once per executor into a single alternation regex with word
+    boundaries — longest-first so overlapping surfaces prefer the longest
+    match — and applied via vectorized ``Series.str.findall`` in an
+    Arrow-batched UDF. The gazetteer rides the closure (broadcast-like);
+    at 10^12 rows the regex DFA cost per turn is O(len(text)).
+
+    Returns (conv_id, turn_idx, surface).
+    """
+    import re
+
+    from softcite_kb_spark.functions.text import capitalized_variant, hyphen_variant
+
+    ent = authority_entities.select(
+        F.array_union(
+            F.array_union(F.array("label"), F.coalesce("aliases", F.array())),
+            F.array_compact(F.array(
+                capitalized_variant(F.col("label")),
+                hyphen_variant(F.col("label")),
+            )),
+        ).alias("surfs"))
+    surfaces = sorted(
+        {r[0] for r in ent.select(F.explode("surfs")).collect()}
+        | set(extra_surfaces),
+        key=len, reverse=True)
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("surface", T.StringType()),
+    ])
+
+    surfaces = [s for s in surfaces if s]
+    if not surfaces:
+        # an empty alternation regex matches the empty string at every
+        # position — return an empty frame instead
+        return transcripts.sparkSession.createDataFrame([], schema=schema)
+
+    pattern = re.compile(
+        r"(?<![\w-])(" + "|".join(re.escape(s) for s in surfaces) + r")(?![\w-])")
+
+    def find(pdf: pd.DataFrame) -> pd.DataFrame:
+        hits = pdf["text"].str.findall(pattern)
+        out = pdf[["conv_id", "turn_idx"]].copy()
+        out["surface"] = hits
+        out = out.explode("surface").dropna(subset=["surface"])
+        out["turn_idx"] = out["turn_idx"].astype("int32")
+        return out
+
+    return (
+        transcripts.select("conv_id", "turn_idx", "text")
+        .mapInPandas(lambda it: (find(pdf) for pdf in it), schema=schema)
+    )
+
+
 def mentions_from_triples(triples: DataFrame) -> DataFrame:
     """Derive software-mention rows from extracted triples.
 

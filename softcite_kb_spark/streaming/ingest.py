@@ -87,6 +87,78 @@ def conversation_turn_rates(
     )
 
 
+STATS_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("n_turns_total", T.LongType()),
+    T.StructField("n_mentions_total", T.LongType()),
+    T.StructField("batch_rows", T.LongType()),
+])
+
+STATS_STATE_SCHEMA = T.StructType([
+    T.StructField("n_turns", T.LongType()),
+    T.StructField("n_mentions", T.LongType()),
+])
+
+
+def running_conversation_stats(stream: DataFrame):
+    """Custom stateful operator: per-conversation running turn + mention
+    counts across micro-batches via ``applyInPandasWithState``.
+
+    The state (n_turns, n_mentions) survives between triggers through the
+    streaming state store — the arbitrary-stateful-processing hook the
+    task brief calls out. Mention counting reuses the stage-1 NAME token
+    grammar on the pandas batch (vectorized ``str.count``).
+    """
+    import re
+
+    import pandas as pd
+
+    from softcite_kb_spark.operators.extraction import NAME
+
+    name_re = re.compile(NAME)
+
+    def update(key, pdf_iter, state):
+        n_turns, n_mentions = state.get if state.exists else (0, 0)
+        batch_rows = 0
+        for pdf in pdf_iter:
+            batch_rows += len(pdf)
+            n_turns += len(pdf)
+            n_mentions += int(pdf["text"].str.count(name_re).sum())
+        state.update((n_turns, n_mentions))
+        yield pd.DataFrame({
+            "conv_id": [key[0]],
+            "n_turns_total": [n_turns],
+            "n_mentions_total": [n_mentions],
+            "batch_rows": [batch_rows],
+        })
+
+    return (
+        stream.select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=STATS_OUTPUT_SCHEMA,
+            stateStructType=STATS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def run_conversation_stats_stream(stream: DataFrame, out_dir: str,
+                                  checkpoint_dir: str):
+    stats = running_conversation_stats(stream)
+    return (
+        stats.writeStream
+        .outputMode("update")
+        .foreachBatch(lambda df, bid: df.withColumn(
+            "batch_id", F.lit(bid)).write.mode("append").parquet(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_turn_rate_stream(stream: DataFrame, out_dir: str,
                          checkpoint_dir: str):
     rates = conversation_turn_rates(stream)
