@@ -100,8 +100,9 @@ def connected_components(
 
 def mention_node_id(conv_id, norm_surface) -> F.Column:
     """Deterministic content-hash id for a per-conversation mention group
-    (F10: deterministic ids instead of uuid4, SURVEY.md 7.0)."""
-    return F.concat(F.lit("m:"), F.sha2(F.concat_ws("", conv_id, norm_surface), 256).substr(1, 24))
+    (F10: deterministic ids instead of uuid4, SURVEY.md 7.0). The
+    unit-separator prevents ("ab","c") / ("a","bc") collisions."""
+    return F.concat(F.lit("m:"), F.sha2(F.concat_ws("\x1f", conv_id, norm_surface), 256).substr(1, 24))
 
 
 def match_pairs(linked_mentions: DataFrame) -> DataFrame:
@@ -114,9 +115,9 @@ def match_pairs(linked_mentions: DataFrame) -> DataFrame:
       * mention-groups linked to the same authority entity -> edge
         (node_id, "e:<entity_id>") — the entity id acts as the hub.
       * same normalized surface across conversations (linked or not) ->
-        edge (node_id, min node_id over the surface), via a window min —
-        the exact-name conflation of merge.py J4 without variants (variants
-        already collapsed into norm_surface upstream).
+        edge (node_id, min node_id over the surface) — the exact-name
+        conflation of merge.py J4 without variants (variants already
+        collapsed into norm_surface upstream).
     """
     nodes = linked_mentions.withColumn(
         "node_id", mention_node_id(F.col("conv_id"), F.col("norm_surface")))
@@ -125,10 +126,12 @@ def match_pairs(linked_mentions: DataFrame) -> DataFrame:
         nodes.filter(F.col("entity_id").isNotNull())
         .select("node_id", F.concat(F.lit("e:"), F.col("entity_id")).alias("hub"))
     )
-    w = W.partitionBy("norm_surface")
+    # per-surface representative via groupBy (map-side partial min) + join
+    # back — a window over norm_surface would funnel every row of a hot
+    # surface through one reducer (the "R"-name skew, merge.py:186-189)
+    reps = nodes.groupBy("norm_surface").agg(F.min("node_id").alias("hub"))
     by_surface = (
-        nodes
-        .withColumn("hub", F.min("node_id").over(w))
+        nodes.join(reps, "norm_surface")
         .filter(F.col("hub") != F.col("node_id"))
         .select("node_id", "hub")
     )

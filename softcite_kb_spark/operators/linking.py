@@ -117,26 +117,23 @@ def generate_candidates(
     """
     m = folded_mentions.select("conv_id", "norm_surface", "n_mentions")
 
+    # union the (tiny) key dimensions FIRST so the 10^12-row mention side
+    # is scanned exactly once — a per-method join would re-scan it per path
     keys = authority_block_keys(authority_entities)
-    by_name = (
+    if authority_ids is not None:
+        pkg = (
+            authority_ids.filter(F.col("id_kind") == "pkg")
+            .select(norm_name(F.col("id_value")).alias("block_key"),
+                    "entity_id",
+                    F.lit(METHOD_STRONG_ID).alias("method"))
+        )
+        keys = keys.unionByName(pkg)
+
+    cands = (
         m.join(F.broadcast(keys),
                m.norm_surface == keys.block_key, "inner")
         .drop("block_key")
     )
-
-    if authority_ids is not None:
-        pkg = (
-            authority_ids.filter(F.col("id_kind") == "pkg")
-            .select(norm_name(F.col("id_value")).alias("id_key"), "entity_id")
-        )
-        strong = (
-            m.join(F.broadcast(pkg), m.norm_surface == pkg.id_key, "inner")
-            .drop("id_key")
-            .withColumn("method", F.lit(METHOD_STRONG_ID))
-        )
-        cands = by_name.unionByName(strong)
-    else:
-        cands = by_name
 
     score_map = F.create_map(
         *[x for kv in _METHOD_SCORE.items() for x in (F.lit(kv[0]), F.lit(kv[1]))])
@@ -175,13 +172,22 @@ def vote_links(
     total_votes >= min_total and winner_votes > majority * total_votes.
     Window `row_number()=1` with a deterministic tiebreak picks the winner.
     """
-    votes = (
+    # a mention-group may match one entity through several methods — count
+    # its votes once (max score), attribute the best-scoring method
+    per_group = (
         candidates
-        # a mention-group votes once per entity even if several methods matched
+        .groupBy("conv_id", "norm_surface", "entity_id")
+        .agg(F.max("n_mentions").alias("n_mentions"),
+             F.max(F.struct("score", "method")).alias("best"))
+    )
+    votes = (
+        per_group
         .groupBy("norm_surface", "entity_id")
         .agg(F.sum("n_mentions").alias("votes"),
-             F.max("score").alias("score"),
-             F.min("method").alias("method"))
+             F.max("best").alias("best"))
+        .select("norm_surface", "entity_id", "votes",
+                F.col("best.score").alias("score"),
+                F.col("best.method").alias("method"))
     )
     w = W.partitionBy("norm_surface")
     votes = votes.withColumn("total_votes", F.sum("votes").over(w))
