@@ -102,6 +102,60 @@ def mention_langs(triples: DataFrame) -> DataFrame:
     )
 
 
+def trigram_similarity(a: str = "norm_surface", b: str = "match_label"):
+    """Char-trigram Jaccard similarity as a scalar pandas UDF Column.
+
+    The scoring kernel of SURVEY.md 2.10: per candidate pair, Jaccard over
+    padded character 3-gram sets — the vectorized analog of the reference's
+    post-validation scoring (merge.py:268-297 + name-variant rules).
+    Arrow-batched; used to re-score candidates whose blocking method is
+    weaker than an exact label match.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def grams(s: str) -> set:
+        s = f"  {s} "
+        return {s[i:i + 3] for i in range(len(s) - 2)}
+
+    # no annotations: `from __future__ import annotations` stringifies
+    # hints and pandas_udf's inference can't resolve the local `pd` name;
+    # unannotated defaults to SCALAR which is what we want
+    @F.pandas_udf(T.DoubleType())
+    def sim(xs, ys):
+        out = []
+        for x, y in zip(xs, ys):
+            if not x or not y:
+                out.append(0.0)
+                continue
+            gx, gy = grams(x.lower()), grams(y.lower())
+            inter = len(gx & gy)
+            out.append(round(inter / (len(gx) + len(gy) - inter), 6))
+        return pd.Series(out)
+
+    return sim(F.col(a), F.col(b))
+
+
+def score_candidates_similarity(
+    candidates: DataFrame,
+    authority_entities: DataFrame,
+) -> DataFrame:
+    """Blend the method-prior score with trigram similarity to the entity's
+    canonical label: score = 0.5*prior + 0.5*trigram. Exact-label matches
+    keep 1.0; fuzzy/variant candidates get separated by actual string
+    closeness before voting."""
+    labels = F.broadcast(
+        authority_entities.select("entity_id", F.col("label").alias("match_label")))
+    return (
+        candidates.join(labels, "entity_id", "left")
+        .withColumn(
+            "score",
+            F.round(0.5 * F.col("score")
+                    + 0.5 * trigram_similarity("norm_surface", "match_label"), 6))
+        .drop("match_label")
+    )
+
+
 def generate_candidates(
     folded_mentions: DataFrame,
     authority_entities: DataFrame,
@@ -179,6 +233,17 @@ def vote_links(
         .groupBy("conv_id", "norm_surface", "entity_id")
         .agg(F.max("n_mentions").alias("n_mentions"),
              F.max(F.struct("score", "method")).alias("best"))
+    )
+    # a group votes only for its best-scoring candidate(s): scoring decides
+    # within a group, voting decides across groups (reference order: score
+    # then count, knowledge_base.py:404-494). Exact ties keep both rows —
+    # the majority rule then correctly refuses genuinely ambiguous names.
+    wg = W.partitionBy("conv_id", "norm_surface")
+    per_group = (
+        per_group
+        .withColumn("__mx", F.max(F.col("best.score")).over(wg))
+        .filter(F.col("best.score") == F.col("__mx"))
+        .drop("__mx")
     )
     votes = (
         per_group

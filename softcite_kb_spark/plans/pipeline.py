@@ -38,6 +38,7 @@ class PipelineConfig:
     min_vote_total: int = 2
     cc_max_iter: int = 25
     source_name: str = "transcripts"
+    similarity_scoring: bool = False
     extra: dict = field(default_factory=dict)
 
     def fingerprint(self) -> str:
@@ -46,6 +47,7 @@ class PipelineConfig:
              "min_vote_total": self.min_vote_total,
              "cc_max_iter": self.cc_max_iter,
              "source_name": self.source_name,
+             "similarity_scoring": self.similarity_scoring,
              "extra": self.extra},
             sort_keys=True)
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
@@ -162,8 +164,19 @@ class KGPipeline:
         ids = (self.store.read(self.spark, "authority_ids")
                if self.store.exists("authority_ids") else None)
         triples = self.store.read(self.spark, "triples")
-        linked = lk.link_mentions(
-            folded, auth, ids, triples, min_total=self.config.min_vote_total)
+        if self.config.similarity_scoring:
+            cands = lk.generate_candidates(folded, auth, ids, triples)
+            cands = lk.score_candidates_similarity(cands, auth)
+            accepted = lk.vote_links(
+                cands, min_total=self.config.min_vote_total).select(
+                "norm_surface", "entity_id",
+                F.col("method").alias("link_method"),
+                F.col("score").alias("link_score"))
+            linked = folded.join(accepted, "norm_surface", "left")
+        else:
+            linked = lk.link_mentions(
+                folded, auth, ids, triples,
+                min_total=self.config.min_vote_total)
         self.store.write(linked, "linked_mentions")
         self._write_metrics(
             "link", self.store.read(self.spark, "linked_mentions"),
