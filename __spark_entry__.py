@@ -517,6 +517,23 @@ def q37_search_flatten(spark, sf_dir):
     return flatten_for_search(nodes, edges, stmts, max_contexts=5)
 
 
+def q38_gazetteer_mentions(spark, sf_dir):
+    """Gazetteer mention detection over synthetic transcripts: the curated
+    surface dictionary (part-name gazetteer) matched with word boundaries
+    (rows-only: mapInPandas regex automaton)."""
+    from softcite_kb_spark.operators.extraction import extract_mentions_gazetteer
+    t = _synthetic_transcripts(spark, sf_dir).filter(
+        F.col("conv_id").cast("long") < 3000)
+    p = _t(spark, sf_dir, "part").limit(500)
+    auth = p.select(
+        F.concat(F.lit("Part"), F.col("p_partkey")).alias("label"),
+        F.concat(F.lit("Q"), F.col("p_partkey")).alias("entity_id"),
+        F.array().cast("array<string>").alias("aliases"),
+        F.lit("part").alias("entity_type"),
+    )
+    return extract_mentions_gazetteer(t, auth)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: stage-1 extraction + fold + A1 ranking on sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -570,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_event_sessions": q35_event_sessions,
         "q36_claims_json_export": q36_claims_json_export,
         "q37_search_flatten": q37_search_flatten,
+        "q38_gazetteer_mentions": q38_gazetteer_mentions,
     }
 
 

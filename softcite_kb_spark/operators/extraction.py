@@ -82,14 +82,20 @@ def ordered_turns(transcripts: DataFrame) -> DataFrame:
     return transcripts.withColumn("seq", F.row_number().over(w))
 
 
-def conversation_view(transcripts: DataFrame) -> DataFrame:
+def conversation_view(transcripts: DataFrame,
+                      max_turns: int | None = None) -> DataFrame:
     """One row per conversation with turns as an ordered struct array.
 
     ``sort_array`` on a struct whose first field is turn_idx gives a
     deterministic order without a shuffle-side sort — feed this to
     whole-conversation extractors.
+
+    ``max_turns`` bounds the assembled array (first N turns by turn_idx):
+    at 10^12-turn scale a single pathological conversation can exceed
+    executor memory if collected whole; the cap is explicit, not silent —
+    ``n_turns`` still reports the true count so truncation is observable.
     """
-    return (
+    out = (
         transcripts
         .groupBy("conv_id")
         .agg(
@@ -99,6 +105,9 @@ def conversation_view(transcripts: DataFrame) -> DataFrame:
             F.count("*").cast("long").alias("n_turns"),
         )
     )
+    if max_turns is not None:
+        out = out.withColumn("turns", F.slice("turns", 1, max_turns))
+    return out
 
 
 def _blacklist_filter(
