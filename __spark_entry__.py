@@ -329,8 +329,9 @@ def q24_fold_mentions_synthetic(spark, sf_dir):
 
 
 def q25_lsh_candidate_pairs(spark, sf_dir):
-    """MinHash-LSH banding candidate pairs (rows-only check: banding is not
-    reasonably expressible in one SQL statement)."""
+    """MinHash-LSH banding candidate pairs; the DuckDB oracle reproduces
+    the full path (16 affine slots, 4 band hashes, capped bucket self-join)
+    generated from the same coefficients."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     planted = d.filter(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text")
@@ -629,8 +630,53 @@ WITH s AS (
 """
 
 
+def _lsh_oracle_sql() -> str:
+    """Full MinHash-LSH banding in SQL: 16 affine slots, 4 band hashes,
+    bucket-capped self-join — generated from the same coefficients the
+    Spark operator uses (dedup.minhash_params)."""
+    params = dd.minhash_params(16)
+    slots = ",\n              ".join(
+        f"list_min([({a} * h + {b}) % {dd.MINHASH_PRIME} for h in hs]) AS s{i}"
+        for i, (a, b) in enumerate(params))
+    band_selects = "\n              UNION ALL\n              ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(concat_ws(',', {', '.join(f's{b * 4 + r}::VARCHAR' for r in range(4))}))"
+        f" AS band_hash FROM sig"
+        for b in range(4))
+    return f"""
+        WITH allx AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25
+        ), sh AS (
+          SELECT doc_id,
+                 [('0x' || substring(md5(array_to_string(toks[i:i+2], ' ')), 1, 8))::BIGINT
+                  for i in range(1, greatest(len(toks) - 2, 0) + 1)] AS hs
+          FROM (SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM allx)
+        ), sig AS (
+          SELECT doc_id,
+              {slots}
+          FROM sh
+        ), stacked AS (
+              {band_selects}
+        ), sized AS (
+          SELECT *, count(*) OVER (PARTITION BY band_idx, band_hash) AS bucket_n
+          FROM stacked
+        ), capped AS (
+          SELECT * FROM sized WHERE bucket_n <= 1000
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM capped a JOIN capped b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "q25_lsh_candidate_pairs": _lsh_oracle_sql(),
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
