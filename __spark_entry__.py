@@ -535,6 +535,19 @@ def q38_gazetteer_mentions(spark, sf_dir):
     return extract_mentions_gazetteer(t, auth)
 
 
+def q39_emb_most_similar_pairs(spark, sf_dir):
+    """Embedding near-dup kernel: top-20 most-cosine-similar pairs in a
+    bounded slice (brute-force verify path of the LSH near-dup op)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150) \
+        .select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", sim.cosine(F.col("va"), F.col("vb")).alias("cos"))
+    return scored.orderBy(F.desc("cos"), F.asc("id_a"), F.asc("id_b")).limit(20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: stage-1 extraction + fold + A1 ranking on sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -589,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_claims_json_export": q36_claims_json_export,
         "q37_search_flatten": q37_search_flatten,
         "q38_gazetteer_mentions": q38_gazetteer_mentions,
+        "q39_emb_most_similar_pairs": q39_emb_most_similar_pairs,
     }
 
 
@@ -677,6 +691,22 @@ def _lsh_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "q25_lsh_candidate_pairs": _lsh_oracle_sql(),
+        "q39_emb_most_similar_pairs": """
+            WITH e AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150
+            ), p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(
+                       list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                       / greatest(
+                           sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])),
+                           1e-12), 6) AS cos
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, cos FROM p
+            ORDER BY cos DESC, id_a ASC, id_b ASC LIMIT 20
+        """,
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -63,6 +63,11 @@ def test_windowed_turn_rates(spark, tmp_path):
     assert set(got.columns) == {"window_start", "window_end", "conv_id",
                                 "n_turns"}
     closed = {(r.conv_id, r.n_turns) for r in got.collect()}
-    # c1's 09:00 window and c2's 09:00 window close once c2's 09:20 event
-    # advances the watermark past 09:05+10min
-    assert ("c1", 2) in closed or len(closed) >= 0  # availableNow flushes all
+    # the 09:20 event advances the watermark to 09:10, closing the
+    # [09:00, 09:05) window: c1 has 2 turns there, c2 has 1; c2's 09:20
+    # window stays open and must NOT be emitted in append mode
+    assert ("c1", 2) in closed
+    assert ("c2", 1) in closed
+    open_windows = got.filter(
+        F.col("window_start") >= "2026-01-05 09:20:00").count()
+    assert open_windows == 0
