@@ -217,10 +217,14 @@ def build_nodes(
     observed surface; entity_id = authority link when the component anchored
     on one.
     """
+    # collect_list order is shuffle-dependent — sort_array after flatten
+    # makes label/alias selection deterministic across runs/partitionings
+    # (the repo's determinism + resume-idempotence rule)
     per_surface = (
         canon.groupBy("canonical_id", "norm_surface")
         .agg(F.sum("n_mentions").alias("cnt"),
-             F.array_distinct(F.flatten(F.collect_list("surfaces"))).alias("surfs"),
+             F.array_distinct(F.sort_array(
+                 F.flatten(F.collect_list("surfaces")))).alias("surfs"),
              F.max("entity_id").alias("entity_id"))
     )
     w = W.partitionBy("canonical_id").orderBy(F.desc("cnt"), F.asc("norm_surface"))
@@ -229,7 +233,8 @@ def build_nodes(
         .groupBy("canonical_id")
         .agg(
             F.max(F.when(F.col("rn") == 1, F.element_at("surfs", 1))).alias("label"),
-            F.array_distinct(F.flatten(F.collect_list("surfs"))).alias("aliases"),
+            F.array_distinct(F.sort_array(
+                F.flatten(F.collect_list("surfs")))).alias("aliases"),
             F.sum("cnt").cast("long").alias("n_mentions"),
             F.max("entity_id").alias("entity_id"),
             F.count("*").cast("long").alias("n_surfaces"),

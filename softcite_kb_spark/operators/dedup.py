@@ -68,13 +68,22 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id",
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array<string> (space-joined)."""
+    """Word n-gram shingles as an array<string> (space-joined).
+
+    Docs with fewer than ``n`` tokens yield an EMPTY array — guarded
+    explicitly: ``sequence(1, 0)`` would otherwise produce the descending
+    array [1, 0] and ``slice(toks, 0, n)`` throws INVALID_PARAMETER_VALUE
+    on start=0, killing the whole stage for one short doc.
+    """
     toks = tokens(text)
-    k = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), k),
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        # greatest(k, 1) keeps sequence() ascending even when the WHEN
+        # branch below will discard the result (both branches are planned)
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
+    return F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
 
 
 MINHASH_PRIME = 4294967311  # first prime > 2^32
@@ -162,6 +171,11 @@ def lsh_candidate_pairs(
     boilerplate) whose pair blowup is quadratic — those docs are caught by
     exact dedup anyway.
     """
+    if num_perm % bands != 0:
+        # silent remainder slots would change candidate recall without any
+        # signal (and the DuckDB oracle assumes exact divisibility)
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands})")
     rows_per_band = num_perm // bands
     sig = add_minhash(df.select(id_col, text_col), text_col, num_perm, shingle_n)
     # Materialization barrier, for two reasons that both bite at scale:
@@ -239,14 +253,63 @@ _SIMHASH_SCHEMA = T.StructType([
 ])
 
 
-def add_simhash(df: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per document via an Arrow-batched pandas UDF.
+def simhash_column(text: Column) -> Column:
+    """64-bit SimHash as a pure Column expression (whole-stage codegen).
 
-    Token hash = first 16 hex chars of md5 (stable across engines); each
-    bit contributes +1/-1; sign of the sum becomes the bit. numpy does the
-    bit matrix per batch — vectorized, no per-row Python beyond hashing.
+    Token hash = first 16 hex chars of md5 interpreted as uint64 (stable
+    across engines — the DuckDB oracle re-derives it); each bit contributes
+    +1/-1 to a 64-slot accumulator folded over the token array with
+    ``aggregate``; the sign of each slot becomes the output bit. The uint64
+    hash is carried as two 32-bit halves (hi/lo as signed longs) so no
+    intermediate overflows ANSI mode; the final value is the int64
+    reinterpretation of the uint64 bit pattern (shiftleft wraps exactly
+    like numpy's uint64→int64 view did).
     """
+    toks = F.filter(tokens(text), lambda t: t != "")
+    halves = F.transform(
+        F.transform(toks, F.md5),
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("lo"),
+        ),
+    )
+
+    def bit_sign(h: Column, b: int) -> Column:
+        half = h["lo"] if b < 32 else h["hi"]
+        mask = F.lit(1 << (b % 32)).cast("long")
+        return F.when(half.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1))
+
+    acc = F.aggregate(
+        halves,
+        F.array_repeat(F.lit(0), 64),
+        lambda a, h: F.array(*[a[b] + bit_sign(h, b) for b in range(64)]),
+    )
+    lo_val = sum(
+        (F.when(acc[b] > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+         for b in range(32)),
+        start=F.lit(0).cast("long"))
+    hi_val = sum(
+        (F.when(acc[b] > 0, F.lit(1 << (b - 32)).cast("long")).otherwise(F.lit(0).cast("long"))
+         for b in range(32, 64)),
+        start=F.lit(0).cast("long"))
+    # hi_val < 2^32; java << wraps, giving the signed reinterpretation for
+    # bit 63 — identical to the uint64 view
+    return F.shiftleft(hi_val, 32).bitwiseOR(lo_val)
+
+
+def add_simhash(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", impl: str = "native") -> DataFrame:
+    """64-bit SimHash per document.
+
+    ``impl='native'`` (default, the 100 TB path): pure Column expressions,
+    zero Python — see :func:`simhash_column`. ``impl='pandas'``: the
+    Arrow-batched reference kernel (per-token hashlib in the batch loop —
+    ~10x slower; kept as the cross-check oracle for the native path and as
+    the template for extractors that genuinely need numpy).
+    """
+    if impl == "native":
+        return df.withColumn("simhash", simhash_column(F.col(text_col)))
+
     import hashlib
 
     import numpy as np

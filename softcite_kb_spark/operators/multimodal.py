@@ -96,8 +96,11 @@ def decode_media(df: DataFrame, drop_malformed: bool = True) -> DataFrame:
                    "n_bytes": [], "checksum": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    kind, w, h, cs = _decode_bytes(bytes(payload))
-                except ValueError:
+                    # bytes(None) raises TypeError — a NULL payload is just
+                    # another poison row, it must not kill the stage either
+                    kind, w, h, cs = _decode_bytes(
+                        bytes(payload) if payload is not None else None)
+                except (ValueError, TypeError):
                     if drop_malformed:
                         continue
                     kind, w, h, cs = None, None, None, None
@@ -105,7 +108,7 @@ def decode_media(df: DataFrame, drop_malformed: bool = True) -> DataFrame:
                 out["kind"].append(kind)
                 out["width"].append(w)
                 out["height"].append(h)
-                out["n_bytes"].append(len(payload))
+                out["n_bytes"].append(len(payload) if payload is not None else 0)
                 out["checksum"].append(cs)
             yield pd.DataFrame(out)
 

@@ -30,19 +30,30 @@ def read_kv_records(
         .withColumn("flat", F.regexp_replace("value", r"\n[ \t]+", " "))
         .withColumn("lines", F.split("flat", "\n"))
         .withColumn(
-            "fields",
-            F.map_from_entries(
-                F.filter(
-                    F.transform(
-                        "lines",
-                        lambda l: F.struct(
-                            F.trim(F.regexp_extract(l, r"^([^:]+):", 1)).alias("key"),
-                            F.trim(F.regexp_extract(l, r"^[^:]+:\s*(.*)$", 1)).alias("val"),
-                        ),
+            "entries",
+            F.filter(
+                F.transform(
+                    "lines",
+                    lambda l: F.struct(
+                        F.trim(F.regexp_extract(l, r"^([^:]+):", 1)).alias("key"),
+                        F.trim(F.regexp_extract(l, r"^[^:]+:\s*(.*)$", 1)).alias("val"),
                     ),
-                    lambda kv: kv["key"] != "",
-                )
+                ),
+                lambda kv: kv["key"] != "",
             ),
+        )
+        # first occurrence wins on repeated keys: map_from_entries' default
+        # EXCEPTION dedup policy would let ONE malformed record (repeated
+        # field) kill the whole tolerant scan
+        .withColumn(
+            "fields",
+            F.map_from_entries(F.aggregate(
+                "entries",
+                F.array().cast("array<struct<key:string,val:string>>"),
+                lambda acc, kv: F.when(
+                    F.exists(acc, lambda p: p["key"] == kv["key"]), acc
+                ).otherwise(F.array_append(acc, kv)),
+            )),
         )
         .select("record_idx", "fields")
     )

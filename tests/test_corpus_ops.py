@@ -148,3 +148,57 @@ def test_frame_sample(spark):
     assert len(rows) > 0
     for r in rows:
         assert r.frame_idx % 2 == 0 and r.frame_idx < r.n_frames
+
+
+def test_shingles_short_docs_safe(spark):
+    """Docs with < n tokens must yield EMPTY shingles, not a stage-killing
+    slice(toks, 0, n) error (sequence(1,0) -> [1,0] descending trap)."""
+    short = spark.createDataFrame(
+        pd.DataFrame([(1, "one two"), (2, ""), (3, None), (4, "solo"),
+                      (5, "alpha beta gamma delta")],
+                     columns=["doc_id", "text"]))
+    sh = {r.doc_id: r.sh for r in short.select(
+        "doc_id", dedup.shingles(F.col("text")).alias("sh")).collect()}
+    assert sh[1] == [] and sh[2] == [] and sh[3] == [] and sh[4] == []
+    assert sh[5] == ["alpha beta gamma", "beta gamma delta"]
+    # full minhash/LSH/jaccard path survives short docs
+    mh = {r.doc_id: r.minhash for r in
+          dedup.add_minhash(short, num_perm=4).collect()}
+    assert mh[1] == [None] * 4 and mh[5][0] is not None
+    pairs = dedup.lsh_candidate_pairs(short, num_perm=16, bands=4)
+    j = dedup.jaccard_pairs(short, pairs)
+    assert j.filter(F.col("jaccard").isNull()).count() == 0
+
+
+def test_lsh_bands_divisibility_enforced(spark, docs):
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.lsh_candidate_pairs(docs, num_perm=16, bands=5)
+
+
+def test_simhash_native_matches_pandas(spark, docs):
+    """The zero-Python Column kernel must reproduce the Arrow/numpy
+    reference kernel bit-for-bit (incl. empty/null/whitespace docs)."""
+    extra = spark.createDataFrame(
+        pd.DataFrame([(100, ""), (101, None), (102, "   "), (103, "x")],
+                     columns=["doc_id", "text"]))
+    allx = docs.unionByName(extra)
+    nat = sorted((r.doc_id, r.simhash) for r in
+                 dedup.add_simhash(allx, impl="native").collect())
+    pnd = sorted((r.doc_id, r.simhash) for r in
+                 dedup.add_simhash(allx, impl="pandas").collect())
+    assert nat == pnd
+
+
+def test_multimodal_null_payload_safe(spark):
+    """A NULL payload is a poison row: dropped (or surfaced as NULL fields),
+    never a stage-killing TypeError."""
+    media = multimodal.synthesize_media(spark, n=4)
+    null_row = spark.createDataFrame(
+        pd.DataFrame([{"media_id": 99, "kind": "image", "payload": None,
+                       "meta": {"declared_width": 1, "declared_height": 1}}]),
+        schema=multimodal.MEDIA_SCHEMA)
+    allm = media.unionByName(null_row)
+    assert multimodal.decode_media(allm).count() == 4
+    kept = multimodal.decode_media(allm, drop_malformed=False) \
+        .filter(F.col("media_id") == 99).collect()
+    assert len(kept) == 1 and kept[0].kind is None and kept[0].n_bytes == 0

@@ -145,3 +145,16 @@ def test_api_queries_shapes(spark):
     rows = hop.collect()
     assert all(r.via_id == "x" and r.end_id == "z" for r in rows)
     assert {r.start_id for r in rows} == {"a", "b"}
+
+
+def test_kv_records_repeated_key_first_wins(spark, tmp_path):
+    """A record that repeats a field must not kill the tolerant scan with
+    DUPLICATED_MAP_KEY — first occurrence wins."""
+    p = tmp_path / "dup.txt"
+    p.write_text("Package: foo\nVersion: 1.0\nPackage: LOSER\n\n"
+                 "Package: bar\nVersion: 2.0\n")
+    from softcite_kb_spark.sources.records import read_kv_records
+    rows = {r.package: r for r in
+            read_kv_records(spark, str(p), keys=["Package", "Version"]).collect()}
+    assert set(rows) == {"foo", "bar"}
+    assert rows["foo"].fields["Package"] == "foo"
