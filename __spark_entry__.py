@@ -319,10 +319,10 @@ def q23_extract_triples_synthetic(spark, sf_dir):
 def q24_fold_mentions_synthetic(spark, sf_dir):
     """A4 same-name folding over extracted mentions (scalar columns only)."""
     t = _synthetic_transcripts(spark, sf_dir)
-    # checkpoint: mentions_from_triples reads the triples plan twice (subj
-    # and obj branches) — without a barrier extraction would run twice.
-    # The full pipeline gets this barrier from the stage snapshot write.
-    triples = ex.extract_triples(t, blacklist=None).localCheckpoint(eager=False)
+    # extraction -> mentions -> fold is one single-scan plan: extract_triples
+    # concat-explodes all patterns in one pass and mentions_from_triples
+    # explodes a per-triple mention array — no barrier needed
+    triples = ex.extract_triples(t, blacklist=None)
     folded = ex.fold_mentions(ex.mentions_from_triples(triples))
     return folded.select("conv_id", "norm_surface", "n_mentions",
                          "first_turn_idx")

@@ -171,12 +171,26 @@ def extract_triples(
                 F.col("m.pred").alias("pred"),
                 F.col("m.obj").alias("obj"))
     )
+    # subj is a name in every pattern: numeric filter + anti-join
     triples = _blacklist_filter(triples, "subj", blacklist)
-    name_obj = _blacklist_filter(
-        triples.filter(F.col("pred") != PRED_VERSION), "obj", blacklist
-    )
-    version_obj = triples.filter(F.col("pred") == PRED_VERSION)
-    return name_obj.unionByName(version_obj)
+    # obj is a name except for has_version (version literal) — single-scan:
+    # a two-branch filter+union here would re-run the whole regex extraction
+    # per branch (2x I/O); instead one predicate (and one LEFT join against
+    # the blacklist) keeps a single pass over the source
+    is_version = F.col("pred") == PRED_VERSION
+    triples = triples.filter(is_version | ~is_number(F.col("obj")))
+    if blacklist is not None:
+        # distinct AFTER upper-casing: two case-variant terms must not
+        # fan the left join out into duplicate rows
+        bl = blacklist.select(F.upper(F.col("term")).alias("__bl_term")).distinct()
+        triples = (
+            triples.join(
+                F.broadcast(bl),
+                F.upper(F.col("obj")) == F.col("__bl_term"), "left")
+            .filter(is_version | F.col("__bl_term").isNull())
+            .drop("__bl_term")
+        )
+    return triples
 
 
 def extract_triples_pandas(
@@ -303,19 +317,26 @@ def mentions_from_triples(triples: DataFrame) -> DataFrame:
     depends_on/uses are too; the has_version object becomes the mention's
     ``version`` attribute (analog of the P348 version qualifier the
     reference attaches at populate_from_mentions.py:288-297).
+
+    Single-scan: each triple emits a 1- or 2-element mention array exploded
+    once. The earlier subj/obj filter+union formulation re-ran the whole
+    upstream extraction per branch unless callers inserted an explicit
+    materialization barrier.
     """
-    subj = triples.select(
-        "conv_id", "turn_idx",
+    subj_m = F.struct(
         F.col("subj").alias("surface"),
-        F.when(F.col("pred") == PRED_VERSION, F.col("obj")).alias("version"),
-    )
-    obj = (
-        triples.filter(F.col("pred").isin(*SOFT_OBJ_PREDS))
+        F.when(F.col("pred") == PRED_VERSION, F.col("obj")).alias("version"))
+    obj_m = F.struct(
+        F.col("obj").alias("surface"),
+        F.lit(None).cast("string").alias("version"))
+    ms = F.when(F.col("pred").isin(*SOFT_OBJ_PREDS),
+                F.array(subj_m, obj_m)).otherwise(F.array(subj_m))
+    return (
+        triples.select("conv_id", "turn_idx", F.explode(ms).alias("m"))
         .select("conv_id", "turn_idx",
-                F.col("obj").alias("surface"),
-                F.lit(None).cast("string").alias("version"))
+                F.col("m.surface").alias("surface"),
+                F.col("m.version").alias("version"))
     )
-    return subj.unionByName(obj)
 
 
 def fold_mentions(mentions: DataFrame) -> DataFrame:
