@@ -120,10 +120,22 @@ def q05_event_type_distinct_users(spark, sf_dir):
 
 def q06_supplier_majority_vote(spark, sf_dir):
     """A8 disambiguation voting (knowledge_base.py:404-494): per part, accept
-    the winning supplier iff votes > total/2 and total >= 10."""
-    li = _t(spark, sf_dir, "lineitem")
+    the winning supplier iff votes > total/2 and total >= 10.
+
+    Planted fixture: parts < 40 get 2 extra supplier-9999 votes per existing
+    row (majority by construction) so the oracle verifies a non-empty value
+    set — the raw distribution never produces a >50% winner at test SFs.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    planted = (
+        li.filter(F.col("l_partkey") < 40)
+        .select("l_partkey", F.lit(9999).cast("long").alias("l_suppkey"))
+        .withColumn("__r", F.explode(F.array(F.lit(1), F.lit(2))))
+        .drop("__r")
+    )
     votes = (
-        li.groupBy("l_partkey", "l_suppkey")
+        li.unionByName(planted)
+        .groupBy("l_partkey", "l_suppkey")
         .agg(F.count("*").cast("long").alias("votes"))
     )
     w = Window.partitionBy("l_partkey")
@@ -279,13 +291,23 @@ def q19_doc_minhash(spark, sf_dir):
 
 def q20_doc_jaccard_pairs(spark, sf_dir):
     """Exact n-gram Jaccard on all pairs of a bounded slice (the verify
-    kernel behind LSH candidates)."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-    ids = d.select(F.col("doc_id").alias("id"))
+    kernel behind LSH candidates).
+
+    Planted fixture: truncated copies (first 200 chars) of docs < 25 under
+    shifted ids — high-but-not-1.0 overlap with their originals, so the
+    oracle value-checks a non-empty set (random docs never reach 0.05).
+    """
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = base.filter(F.col("doc_id") < 60)
+    planted = base.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.substring("text", 1, 200).alias("text"))
+    allx = d.unionByName(planted)
+    ids = allx.select(F.col("doc_id").alias("id"))
     pairs = (ids.alias("a").join(ids.alias("b"),
                                  F.col("a.id") < F.col("b.id"))
              .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")))
-    j = dd.jaccard_pairs(d, pairs, shingle_n=3)
+    j = dd.jaccard_pairs(allx, pairs, shingle_n=3)
     return j.filter(F.col("jaccard") >= 0.05)
 
 
@@ -487,8 +509,9 @@ def q36_claims_json_export(spark, sf_dir):
 
 
 def q37_search_flatten(spark, sf_dir):
-    """P6/S11 search flatten over a KB synthesized from lineitem
-    (rows-only: map/array columns)."""
+    """P6/S11 search flatten over a KB synthesized from lineitem; array/map
+    columns rendered as deterministic scalars (concat_ws / to_json) so the
+    driver's row canonicalizer and the DuckDB oracle can hash them."""
     from softcite_kb_spark.kb.indexing import flatten_for_search
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
@@ -515,7 +538,16 @@ def q37_search_flatten(spark, sf_dir):
         F.lit("li").alias("source"),
         F.lit(1).cast("long").alias("count"),
     )
-    return flatten_for_search(nodes, edges, stmts, max_contexts=5)
+    flat = flatten_for_search(nodes, edges, stmts, max_contexts=5)
+    return flat.select(
+        "canonical_id", "label", "aliases_text", "entity_type", "n_mentions",
+        F.concat_ws(",", F.coalesce(
+            "langs", F.array().cast("array<string>"))).alias("langs_str"),
+        F.coalesce(F.to_json("rel_counts"), F.lit("{}")).alias("rel_counts_json"),
+        F.concat_ws(",", F.coalesce(
+            "contexts_sample", F.array().cast("array<string>"))).alias("contexts_str"),
+        "all",
+    )
 
 
 def q38_gazetteer_mentions(spark, sf_dir):
@@ -746,9 +778,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "q06_supplier_majority_vote": """
-            WITH v AS (
+            WITH src AS (
+              SELECT l_partkey, l_suppkey FROM lineitem
+              UNION ALL
+              SELECT l_partkey, 9999::BIGINT AS l_suppkey
+              FROM lineitem, range(2) WHERE l_partkey < 40
+            ), v AS (
               SELECT l_partkey, l_suppkey, count(*)::BIGINT AS votes
-              FROM lineitem GROUP BY 1, 2
+              FROM src GROUP BY 1, 2
             ), t AS (
               SELECT *, sum(votes) OVER (PARTITION BY l_partkey)::BIGINT AS total,
                      row_number() OVER (PARTITION BY l_partkey
@@ -890,10 +927,15 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
         """,
         "q20_doc_jaccard_pairs": """
-            WITH s AS (
+            WITH allx AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 60
+              UNION ALL
+              SELECT doc_id + 1000000, substring(text, 1, 200)
+              FROM documents WHERE doc_id < 25
+            ), s AS (
               SELECT doc_id,
                      regexp_split_to_array(trim(text), '\\s+') AS toks
-              FROM documents WHERE doc_id < 60
+              FROM allx
             ), sh AS (
               SELECT doc_id,
                      list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -1027,6 +1069,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, sum(new_sess)::BIGINT AS n_sessions,
                    count(*)::BIGINT AS n_events
             FROM flags GROUP BY 1
+        """,
+        # q37: the search flatten rebuilt relationally — nodes from part,
+        # edges/statements from lineitem, arrays rendered exactly like the
+        # Spark side (sorted + comma/space-joined, map as JSON)
+        "q37_search_flatten": """
+            WITH nodes AS (
+              SELECT 'P' || p_partkey AS canonical_id, p_name AS label,
+                     p_brand AS aliases_text, 'part' AS entity_type,
+                     1::BIGINT AS n_mentions
+              FROM part
+            ), edges AS (
+              SELECT 'P' || l_partkey AS src_id, 'S' || l_suppkey AS dst_id,
+                     count(*)::BIGINT AS cnt
+              FROM lineitem GROUP BY 1, 2
+            ), langs AS (
+              SELECT 'P' || l_partkey AS canonical_id,
+                     list_sort(list(DISTINCT l_returnflag)) AS langs_arr
+              FROM lineitem GROUP BY 1
+            ), rels AS (
+              SELECT src_id AS canonical_id,
+                     '{"supplied_by":' || sum(cnt)::BIGINT || '}' AS rel_counts_json
+              FROM edges GROUP BY 1
+            ), topk AS (
+              SELECT src_id, dst_id,
+                     row_number() OVER (PARTITION BY src_id
+                                        ORDER BY cnt DESC, dst_id ASC) AS rn
+              FROM edges
+            ), ctx AS (
+              SELECT src_id AS canonical_id,
+                     list_sort(list(dst_id)) AS ctx_arr
+              FROM topk WHERE rn <= 5 GROUP BY 1
+            )
+            SELECT n.canonical_id, n.label, n.aliases_text, n.entity_type,
+                   n.n_mentions,
+                   coalesce(array_to_string(l.langs_arr, ','), '') AS langs_str,
+                   coalesce(r.rel_counts_json, '{}') AS rel_counts_json,
+                   coalesce(array_to_string(c.ctx_arr, ','), '') AS contexts_str,
+                   concat_ws(' ', n.label, n.aliases_text,
+                             coalesce(array_to_string(l.langs_arr, ' '), ''),
+                             coalesce(array_to_string(c.ctx_arr, ' '), ''))
+                     AS "all"
+            FROM nodes n
+            LEFT JOIN langs l ON n.canonical_id = l.canonical_id
+            LEFT JOIN rels r ON n.canonical_id = r.canonical_id
+            LEFT JOIN ctx c ON n.canonical_id = c.canonical_id
         """,
         "q24_fold_mentions_synthetic": """
             WITH m AS (
