@@ -371,8 +371,12 @@ def q26_simhash_near_pairs(spark, sf_dir):
 
 
 def q27_multimodal_decode(spark, sf_dir):
-    """Multimodal binary decode plumbing (rows-only: stub codec)."""
-    media = mm.synthesize_media(spark, n=128)
+    """Multimodal binary decode plumbing: payloads derived from the
+    documents table (header = modular functions of doc_id, body = text
+    bytes) so the oracle reconstructs kind/width/height/n_bytes/checksum
+    relationally and value-checks the whole mapInPandas decode path."""
+    d = _t(spark, sf_dir, "documents")
+    media = mm.media_from_documents(d)
     return mm.decode_media(media)
 
 
@@ -553,11 +557,13 @@ def q37_search_flatten(spark, sf_dir):
 def q38_gazetteer_mentions(spark, sf_dir):
     """Gazetteer mention detection over synthetic transcripts: the curated
     surface dictionary (part-name gazetteer) matched with word boundaries
-    (rows-only: mapInPandas regex automaton)."""
+    (mapInPandas regex automaton); oracle reconstructs the expected mention
+    set relationally from lineitem (boundary lookarounds guarantee only
+    whole Part<k> tokens with k < 500 match)."""
     from softcite_kb_spark.operators.extraction import extract_mentions_gazetteer
     t = _synthetic_transcripts(spark, sf_dir).filter(
         F.col("conv_id").cast("long") < 3000)
-    p = _t(spark, sf_dir, "part").limit(500)
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
     auth = p.select(
         F.concat(F.lit("Part"), F.col("p_partkey")).alias("label"),
         F.concat(F.lit("Q"), F.col("p_partkey")).alias("entity_id"),
@@ -720,9 +726,153 @@ def _lsh_oracle_sql() -> str:
     """
 
 
+def _simhash_oracle_sql() -> str:
+    """Full SimHash near-pair path in SQL: per-token md5 carried as two
+    32-bit halves (exactly like dedup.simhash_column), per-bit +-1 sums,
+    signed-long reassembly (bit 63 as the negative sentinel — DuckDB's
+    1<<63 overflows), 16-bit-chunk pigeonhole blocking, Hamming via
+    bit_count(xor)."""
+    pow2 = ", ".join(str(1 << b) if b < 63 else "-9223372036854775808"
+                     for b in range(64))
+    return f"""
+        WITH allx AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 200
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25
+        ), tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                    t -> t <> '')) AS t
+          FROM allx
+        ), h AS (
+          SELECT doc_id,
+                 ('0x' || substring(md5(t), 1, 8))::BIGINT AS hi,
+                 ('0x' || substring(md5(t), 9, 8))::BIGINT AS lo
+          FROM tok
+        ), bits AS (
+          SELECT doc_id, bb.b,
+                 CASE WHEN (CASE WHEN bb.b < 32 THEN (lo >> bb.b)
+                            ELSE (hi >> (bb.b - 32)) END) & 1 = 1
+                      THEN 1 ELSE -1 END AS c
+          FROM h CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+        ), acc AS (
+          SELECT doc_id, b, sum(c) AS s FROM bits GROUP BY 1, 2
+        ), pw AS (
+          SELECT unnest(range(64)) AS b, unnest([{pow2}]) AS p2
+        ), sigs AS (
+          SELECT acc.doc_id,
+                 sum(CASE WHEN acc.s > 0 THEN pw.p2 ELSE 0 END)::BIGINT AS simhash
+          FROM acc JOIN pw USING (b) GROUP BY 1
+        ), sig AS (
+          SELECT a.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
+          FROM allx a LEFT JOIN sigs s USING (doc_id)
+        ), chunks AS (
+          SELECT doc_id, simhash, cc.c AS chunk_idx,
+                 (simhash >> (cc.c * 16)) & 65535 AS chunk_val
+          FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) cc
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.simhash AS sh_a, b.simhash AS sh_b
+          FROM chunks a JOIN chunks b
+            ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+           AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
+        FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """
+
+
+def _hyperplane_oracle_sql() -> str:
+    """Hyperplane-LSH top-k in SQL: the 4x64 md5-derived plane coefficients
+    (similarity.hyperplane_signs, seed 13) embedded as repr'd double
+    literals (repr round-trips, so both engines compare the identical
+    double in the sign test)."""
+    import hashlib
+
+    def coef(p: int, c: int) -> float:
+        h = hashlib.md5(f"13:{p}:{c}".encode()).hexdigest()[:8]
+        return (int(h, 16) / 0xFFFFFFFF) * 2.0 - 1.0
+
+    bucket = " + ".join(
+        "CASE WHEN list_dot_product(embedding::DOUBLE[], [{coefs}]) > 0 "
+        "THEN {w} ELSE 0 END".format(
+            coefs=", ".join(repr(coef(p, c)) for c in range(64)), w=1 << p)
+        for p in range(4))
+    return f"""
+        WITH b AS (
+          SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+        ), q AS (
+          SELECT vec_id AS query_id, embedding AS qv, bucket
+          FROM b WHERE vec_id < 3
+        ), scored AS (
+          SELECT q.query_id, b.vec_id,
+                 round(list_dot_product(b.embedding::DOUBLE[], q.qv::DOUBLE[])
+                       / greatest(
+                           sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                                 b.embedding::DOUBLE[]))
+                           * sqrt(list_dot_product(q.qv::DOUBLE[],
+                                                   q.qv::DOUBLE[])),
+                           1e-12), 6) AS cos
+          FROM b JOIN q USING (bucket)
+          WHERE b.vec_id <> q.query_id
+        ), r AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q25_lsh_candidate_pairs": _lsh_oracle_sql(),
+        "q26_simhash_near_pairs": _simhash_oracle_sql(),
+        "q28_lsh_topk": _hyperplane_oracle_sql(),
+        # q38: ground truth reconstructed relationally (the boundary
+        # lookarounds admit exactly the whole Part<k> tokens, k < 500)
+        "q38_gazetteer_mentions": """
+            SELECT l_orderkey::VARCHAR AS conv_id, l_linenumber AS turn_idx,
+                   'Part' || l_partkey AS surface
+            FROM lineitem WHERE l_orderkey < 3000 AND l_partkey < 500
+            UNION ALL
+            SELECT l_orderkey::VARCHAR, l_linenumber, 'Part' || l_suppkey
+            FROM lineitem WHERE l_orderkey < 3000 AND l_suppkey < 500
+        """,
+        # q27: decoded fields reconstructed relationally from documents —
+        # header fields are modular functions of doc_id, checksum is the
+        # byte sum of the (ASCII) text body mod 2^31
+        "q27_multimodal_decode": """
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   (8 + doc_id % 56)::INT AS width,
+                   (8 + (doc_id * 7) % 56)::INT AS height,
+                   (16 + length(text))::BIGINT AS n_bytes,
+                   (list_aggregate(list_transform(string_split(text, ''),
+                                                  c -> ascii(c)), 'sum')
+                    % 2147483648)::BIGINT AS checksum
+            FROM documents
+        """,
+        # q36: Spark's to_json rendering rebuilt byte-for-byte — struct
+        # field order (value, datatype, references) and sort_array's
+        # lexicographic struct order become ORDER BY value, source, count
+        "q36_claims_json_export": """
+            WITH s AS (
+              SELECT l_partkey AS entity_id, l_suppkey::VARCHAR AS value,
+                     l_returnflag AS source, l_quantity::BIGINT AS count
+              FROM lineitem WHERE l_orderkey < 2000
+            ), per AS (
+              SELECT entity_id,
+                     string_agg('{"value":"' || value
+                                || '","datatype":"string","references":[{"P248":"'
+                                || source || '","count":' || count || '}]}',
+                                ',' ORDER BY value, source, count) AS arr
+              FROM s GROUP BY 1
+            )
+            SELECT entity_id, '{"supplier":[' || arr || ']}' AS claims_json
+            FROM per
+        """,
         "q39_emb_most_similar_pairs": """
             WITH e AS (
               SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150

@@ -65,6 +65,39 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media fixtures derived from a (doc_id, text) table.
+
+    Header fields are modular functions of doc_id and the body is the
+    UTF-8 text, so every field the decoder emits (kind, width, height,
+    n_bytes, checksum) is reconstructible relationally — this is what lets
+    the driver value-check the decode path end-to-end against a SQL oracle
+    instead of trusting the stub. Arrow-batched fixture generation, not a
+    hot path.
+    """
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                kind_id = did % 3
+                w = 8 + did % 56
+                h = 8 + (did * 7) % 56
+                body = (text or "").encode("utf-8")
+                rows["media_id"].append(did)
+                rows["kind"].append(KINDS[kind_id])
+                rows["payload"].append(
+                    MAGIC + bytes([kind_id, 0, 0, 0])
+                    + struct.pack("<II", w, h) + body)
+                rows["meta"].append(
+                    {"declared_width": w, "declared_height": h})
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build, schema=MEDIA_SCHEMA)
+
+
 def _decode_bytes(payload: bytes) -> tuple[str, int, int, int]:
     """STUB DECODER — deterministic header parse standing in for a real
     codec (PIL/ffmpeg are not installed in this container). Returns
