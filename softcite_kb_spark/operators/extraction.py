@@ -244,10 +244,29 @@ def extract_triples_pandas(
     )
 
 
+def _gazetteer_surfaces(authority_entities: DataFrame):
+    """Surface expansion shared by both gazetteer paths: label + aliases +
+    case/hyphen variants, one row per surface."""
+    from softcite_kb_spark.functions.text import capitalized_variant, hyphen_variant
+
+    return authority_entities.select(
+        F.explode(
+            F.array_union(
+                F.array_union(F.array("label"),
+                              F.coalesce("aliases", F.array())),
+                F.array_compact(F.array(
+                    capitalized_variant(F.col("label")),
+                    hyphen_variant(F.col("label")),
+                )),
+            )
+        ).alias("surface"))
+
+
 def extract_mentions_gazetteer(
     transcripts: DataFrame,
     authority_entities: DataFrame,
     extra_surfaces: Iterable[str] = (),
+    max_surfaces: int = 100_000,
 ) -> DataFrame:
     """Gazetteer mention detection: find authority labels/aliases (and
     their case/hyphen variants) anywhere in turn text, independent of the
@@ -263,24 +282,33 @@ def extract_mentions_gazetteer(
     Arrow-batched UDF. The gazetteer rides the closure (broadcast-like);
     at 10^12 rows the regex DFA cost per turn is O(len(text)).
 
+    The alternation-regex design is bounded by construction: it collects
+    the surface dictionary to the driver and compiles one regex, which is
+    right for curated gazetteers (10^4) and wrong past ~10^5 surfaces
+    (driver memory + regex compile + task-closure size). ``max_surfaces``
+    fails fast at that bound — the collect itself is capped by a LIMIT
+    probe, so an accidentally-huge dictionary can't OOM the driver either.
+    Past the bound, use :func:`extract_mentions_token_join`, which keeps
+    the dictionary distributed end-to-end.
+
     Returns (conv_id, turn_idx, surface).
     """
     import re
 
-    from softcite_kb_spark.functions.text import capitalized_variant, hyphen_variant
-
-    ent = authority_entities.select(
-        F.array_union(
-            F.array_union(F.array("label"), F.coalesce("aliases", F.array())),
-            F.array_compact(F.array(
-                capitalized_variant(F.col("label")),
-                hyphen_variant(F.col("label")),
-            )),
-        ).alias("surfs"))
-    surfaces = sorted(
-        {r[0] for r in ent.select(F.explode("surfs")).collect()}
-        | set(extra_surfaces),
-        key=len, reverse=True)
+    probe = (
+        _gazetteer_surfaces(authority_entities)
+        .filter(F.length("surface") > 0)
+        .distinct()
+        .limit(max_surfaces + 1)
+        .collect()
+    )
+    if len(probe) > max_surfaces:
+        raise ValueError(
+            f"gazetteer exceeds max_surfaces={max_surfaces}; the alternation-"
+            "regex path collects surfaces to the driver — use "
+            "extract_mentions_token_join for large dictionaries")
+    surfaces = sorted({r[0] for r in probe} | set(extra_surfaces),
+                      key=len, reverse=True)
     schema = T.StructType([
         T.StructField("conv_id", T.StringType()),
         T.StructField("turn_idx", T.IntegerType()),
@@ -308,6 +336,62 @@ def extract_mentions_gazetteer(
         transcripts.select("conv_id", "turn_idx", "text")
         .mapInPandas(lambda it: (find(pdf) for pdf in it), schema=schema)
     )
+
+
+_TOKEN_RE = r"[A-Za-z0-9_\-]+"
+_CONFORMING_RE = r"^[A-Za-z0-9_\-]+( [A-Za-z0-9_\-]+)?$"
+
+
+def extract_mentions_token_join(
+    transcripts: DataFrame,
+    authority_entities: DataFrame,
+    extra_surfaces: Iterable[str] = (),
+) -> DataFrame:
+    """Scale-path gazetteer: token/bigram equi-join instead of a
+    driver-compiled alternation regex.
+
+    The surface dictionary stays a distributed DataFrame end-to-end (no
+    ``collect()``, no regex compile, no closure shipping), so it scales to
+    10^8 surfaces: turns explode into word unigrams+bigrams, matched by a
+    hash join on the surface string — Catalyst broadcasts a small
+    dictionary and shuffles a huge one.
+
+    Semantics vs :func:`extract_mentions_gazetteer` (documented, tested):
+
+      * token alphabet ``[A-Za-z0-9_-]`` with single-space bigrams —
+        boundary- and whitespace-faithful to the regex path's
+        ``(?<![\\w-])…(?![\\w-])`` lookarounds (bigram candidates are
+        extracted positionally with an overlapping-lookahead regex, so
+        "Stat  Forge" with two spaces does NOT match "Stat Forge");
+        surfaces outside the alphabet (containing '.', '+', odd spacing)
+        are ignored here — route those few through the bounded regex path
+        and union.
+      * emits ALL matching surfaces including overlapping ones, whereas the
+        regex path consumes text leftmost-longest non-overlapping. For
+        non-overlapping gazetteers (the common curated case) the outputs
+        are identical.
+
+    Returns (conv_id, turn_idx, surface).
+    """
+    surf = _gazetteer_surfaces(authority_entities)
+    if extra_surfaces:
+        extra = transcripts.sparkSession.createDataFrame(
+            [(s,) for s in extra_surfaces], ["surface"])
+        surf = surf.unionByName(extra)
+    surf = surf.filter(F.col("surface").rlike(_CONFORMING_RE)).distinct()
+
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)
+    # overlapping bigram spans: zero-width lookahead captures each
+    # "tokA tokB" starting at a token boundary with EXACTLY one space —
+    # the positional fidelity the regex path has
+    bigram_re = rf"(?<![\w\-])(?=({_TOKEN_RE} {_TOKEN_RE}))"
+    bigrams = F.regexp_extract_all(F.col("text"), F.lit(bigram_re), 1)
+    cands = (
+        transcripts.select(
+            "conv_id", "turn_idx",
+            F.explode(F.concat(toks, bigrams)).alias("surface"))
+    )
+    return cands.join(surf, "surface").select("conv_id", "turn_idx", "surface")
 
 
 def mentions_from_triples(triples: DataFrame) -> DataFrame:

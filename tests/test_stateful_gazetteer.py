@@ -3,6 +3,8 @@ running-stats operator (state persists across micro-batches)."""
 
 import os
 
+import pytest
+
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -88,3 +90,57 @@ def test_stateful_running_stats(spark, tmp_path):
               .filter(F.col("conv_id") == "c1").first())
     assert latest.n_turns_total == 3
     assert latest.n_turns_total > first["c1"].n_turns_total
+
+
+def test_gazetteer_max_surfaces_fail_fast(spark, corpus):
+    with pytest.raises(ValueError, match="max_surfaces"):
+        ex.extract_mentions_gazetteer(
+            corpus["transcripts"], corpus["authority_entities"],
+            max_surfaces=2)
+
+
+def test_token_join_matches_regex_path(spark, corpus):
+    """The distributed token-join fallback must agree with the alternation-
+    regex path on a non-overlapping gazetteer, including multi-word and
+    hyphenated surfaces and punctuation-adjacent occurrences."""
+    pdf = pd.DataFrame({
+        "conv_id": ["c1"] * 5,
+        "turn_idx": pd.array(range(5), dtype="int32"),
+        "text": [
+            "We used Statlib (and STAT-FORGE) yesterday.",
+            "Statliberation is not Statlib; prefix-Statlib neither",
+            "Stat Forge works, Stat  Forge with two spaces does not",
+            "Statlib, Statlib! twice on one turn",
+            "nothing here",
+        ],
+    })
+    t = spark.createDataFrame(pdf)
+    auth = spark.createDataFrame(pd.DataFrame({
+        "entity_id": ["Q1", "Q2"],
+        "label": ["Statlib", "Stat-Forge"],
+        "aliases": [[], ["STAT-FORGE", "Stat Forge"]],
+        "entity_type": ["software", "software"],
+        "claims": [[], []],
+    }))
+    rx = sorted((r.conv_id, r.turn_idx, r.surface) for r in
+                ex.extract_mentions_gazetteer(t, auth).collect())
+    tj = sorted((r.conv_id, r.turn_idx, r.surface) for r in
+                ex.extract_mentions_token_join(t, auth).collect())
+    assert rx == tj
+    assert ("c1", 3, "Statlib") in tj  # both occurrences
+    assert tj.count(("c1", 3, "Statlib")) == 2
+    assert ("c1", 2, "Stat Forge") in tj  # single-space bigram only
+
+
+def test_token_join_on_corpus_gazetteer(spark, corpus):
+    """On the generated corpus gazetteer, the join path's matches are a
+    superset only where surfaces overlap; with the datagen dictionary
+    (distinct 1-2 token labels) recall must cover every planted mention."""
+    got = ex.extract_mentions_token_join(
+        corpus["transcripts"], corpus["authority_entities"])
+    expected = corpus["expected_mentions"].filter(
+        F.col("entity_id").isNotNull())
+    exp_keys = {(r.conv_id, r.turn_idx, r.surface)
+                for r in expected.collect()}
+    got_keys = {(r.conv_id, r.turn_idx, r.surface) for r in got.collect()}
+    assert exp_keys <= got_keys
