@@ -1,4 +1,4 @@
-"""Bibliographic / HTML document parsers (reference F14, S4/S6).
+"""Bibliographic / HTML / TEI document parsers (reference F14, F15, S4/S6).
 
 F14 — bibtex parsing + signature dedup (populate_staging_area.py:425-553):
 the reference uses pybtex per-row; pybtex is not in this container, so the
@@ -6,6 +6,17 @@ parser is a regex-grammar pandas UDF covering the fields the reference
 projects (type, key, title, author, year, journal/booktitle). The
 alnum-only dedup signature is a native Column (dedup itself =
 dropDuplicates on it).
+
+F15 — TEI-XML bibliographical reference parse (tei2json,
+populate_staging_area.py:615-751): the reference runs an lxml xpath
+battery over GROBID-produced ``<biblStruct>`` fragments and emits a
+simplified-CrossRef dict. lxml is not in this container; the same field
+battery is re-expressed as a scoped regex grammar (analytic / monogr /
+imprint / meeting blocks first, then per-field matches inside the right
+scope — matching the xpath axes) in an Arrow-batched pandas UDF. GROBID
+TEI is machine-generated, well-formed, and entity-escaped, which is what
+makes the regex kernel safe; a real deployment swaps in an XML parser
+inside the same mapInPandas plumbing.
 
 S4/S6 — CRAN package-page / citation-page scrape (cran_import.py:198-331,
 :135-151): BeautifulSoup per page in the reference; here a vectorized
@@ -116,3 +127,132 @@ def parse_package_page(html: pd.Series) -> pd.DataFrame:
     parsed = [one(s) for s in html]
     return pd.DataFrame(
         parsed, columns=["title", "description", "attrs", "citations"])
+
+
+# ---------------------------------------------------------------------------
+# F15 — TEI-XML biblStruct parse (tei2json, populate_staging_area.py:615-751)
+# ---------------------------------------------------------------------------
+
+TEI_BIBLIO_SCHEMA = T.StructType([
+    T.StructField("title", T.StringType()),
+    T.StructField("doi", T.StringType()),
+    T.StructField("pmid", T.StringType()),
+    T.StructField("pmcid", T.StringType()),
+    T.StructField("oa_link", T.StringType()),
+    T.StructField("authors", T.ArrayType(T.StructType([
+        T.StructField("given", T.StringType()),
+        T.StructField("family", T.StringType()),
+    ]))),
+    T.StructField("journal", T.StringType()),
+    T.StructField("monograph", T.StringType()),
+    T.StructField("publisher", T.StringType()),
+    T.StructField("volume", T.StringType()),
+    T.StructField("issue", T.StringType()),
+    T.StructField("page", T.StringType()),
+    T.StructField("issn", T.StringType()),
+    T.StructField("isbn", T.StringType()),
+    T.StructField("date", T.StringType()),
+    T.StructField("year", T.StringType()),
+    T.StructField("event", T.StringType()),
+])
+
+
+def _scope(s: str, tag: str) -> str:
+    """Inner text of the first <tag>...</tag> block ('' if absent) —
+    the regex analog of descending one xpath axis."""
+    m = re.search(rf"<{tag}[\s>].*?</{tag}>", s, re.S)
+    return m.group(0) if m else ""
+
+
+def _elem_text(s: str, pattern: str) -> str | None:
+    """First match's inner text, unescaped+collapsed (None if absent or
+    empty — mirrors _get_first_value_xpath's .text semantics)."""
+    import html as _html
+
+    m = re.search(pattern, s, re.S)
+    if not m:
+        return None
+    txt = _WS_RE.sub(" ", _html.unescape(m.group(1))).strip()
+    return txt or None
+
+
+def _attr(s: str, pattern: str) -> str | None:
+    m = re.search(pattern, s, re.S)
+    return m.group(1) if m else None
+
+
+def _parse_tei_one(tei: str) -> tuple:
+    if not tei or "<biblStruct" not in tei:
+        return (None,) * 5 + ([],) + (None,) * 11
+    analytic = _scope(tei, "analytic")
+    monogr = _scope(tei, "monogr")
+    imprint = _scope(monogr, "imprint")
+    meeting = _scope(monogr, "meeting")
+
+    title = _elem_text(analytic, r'<title[^>]*level="a"[^>]*>(.*?)</title>')
+    doi = _elem_text(analytic, r'<idno[^>]*type="DOI"[^>]*>(.*?)</idno>')
+    pmid = _elem_text(analytic, r'<idno[^>]*type="PMID"[^>]*>(.*?)</idno>')
+    pmcid = _elem_text(analytic, r'<idno[^>]*type="PMCID"[^>]*>(.*?)</idno>')
+    oa_link = _attr(
+        analytic, r'<ptr[^>]*type="open-access"[^>]*target="([^"]*)"')
+
+    authors = []
+    for am in re.finditer(r"<author[\s>].*?</author>", analytic, re.S):
+        pm = re.search(r"<persName[\s>].*?</persName>", am.group(0), re.S)
+        if not pm:
+            continue
+        pers = pm.group(0)
+        fornames = [
+            _WS_RE.sub(" ", f).strip()
+            for f in re.findall(r"<forename[^>]*>(.*?)</forename>", pers, re.S)
+        ]
+        family = _elem_text(pers, r"<surname[^>]*>(.*?)</surname>")
+        given = " ".join(f for f in fornames if f) or None
+        authors.append({"given": given, "family": family})
+
+    journal = _elem_text(monogr, r'<title[^>]*level="j"[^>]*>(.*?)</title>')
+    monograph = _elem_text(monogr, r'<title[^>]*level="m"[^>]*>(.*?)</title>')
+    publisher = _elem_text(imprint, r"<publisher[^>]*>(.*?)</publisher>")
+    volume = _elem_text(
+        imprint, r'<biblScope[^>]*unit="volume"[^>]*>(.*?)</biblScope>')
+    issue = _elem_text(
+        imprint, r'<biblScope[^>]*unit="issue"[^>]*>(.*?)</biblScope>')
+    # page: @from-@to preferred, else the element text (reference :731-738)
+    page_el = re.search(r'<biblScope[^>]*unit="page"[^>]*(?:/>|>(.*?)</biblScope>)',
+                        imprint, re.S)
+    page = None
+    if page_el:
+        frm = _attr(page_el.group(0), r'from="([^"]*)"')
+        to = _attr(page_el.group(0), r'to="([^"]*)"')
+        if frm is not None and to is not None:
+            page = f"{frm}-{to}"
+        elif page_el.group(1):
+            page = _WS_RE.sub(" ", page_el.group(1)).strip() or None
+    issn = _elem_text(monogr, r'<idno[^>]*type="ISSN"[^>]*>(.*?)</idno>')
+    isbn = _elem_text(monogr, r'<idno[^>]*type="ISBN"[^>]*>(.*?)</idno>')
+    # date = @when of imprint/date[@type="published"] (reference _get_date_xpath)
+    date = _attr(imprint, r'<date[^>]*type="published"[^>]*when="([^"]*)"')
+    if date is None:
+        date = _attr(imprint, r'<date[^>]*when="([^"]*)"[^>]*type="published"')
+    year = date.split("-")[0] if date else None
+    event = _elem_text(meeting, r"<title[^>]*>(.*?)</title>")
+
+    return (title, doi, pmid, pmcid, oa_link, authors, journal, monograph,
+            publisher, volume, issue, page, issn, isbn, date, year, event)
+
+
+@F.pandas_udf(TEI_BIBLIO_SCHEMA)
+def parse_tei_biblio(tei: pd.Series) -> pd.DataFrame:
+    """TEI <biblStruct> -> simplified-CrossRef row (F15).
+
+    Field battery mirrors tei2json (populate_staging_area.py:615-751):
+    analytic title/DOI/PMID/PMCID/oaLink, persName authors (given=joined
+    forenames, family=surname), monogr journal/monograph titles, imprint
+    publisher/volume/issue/page(from-to | text)/date@when (+derived year),
+    monogr ISSN/ISBN, meeting title as event. The reference's
+    biblio-glutton lookup branch (:658-663) is an external service call —
+    out of engine scope; join the output against a curated biblio dimension
+    for the same effect (J-family).
+    """
+    parsed = [_parse_tei_one(s) for s in tei]
+    return pd.DataFrame(parsed, columns=[f.name for f in TEI_BIBLIO_SCHEMA.fields])

@@ -108,3 +108,76 @@ def test_parse_package_page(spark):
     assert p.attrs["License"] == "GPL"
     assert len(p.citations) == 1 and "Dynamic Documents" in p.citations[0]
     assert rows[1].p.title is None
+
+
+_TEI_SAMPLE = """<biblStruct xml:id="b7">
+  <analytic>
+    <title level="a" type="main">Scikit-learn: Machine Learning in &amp;quot;Python&amp;quot;</title>
+    <author><persName><forename type="first">Fabian</forename>
+      <forename type="middle">G</forename>
+      <surname>Pedregosa</surname></persName></author>
+    <author><persName><forename type="first">Gael</forename>
+      <surname>Varoquaux</surname></persName></author>
+    <author><orgName>Inria</orgName></author>
+    <idno type="DOI">10.5555/1953048.2078195</idno>
+    <idno type="PMID">12345</idno>
+    <ptr type="open-access" target="https://example.org/oa.pdf" />
+  </analytic>
+  <monogr>
+    <title level="j">Journal of Machine Learning Research</title>
+    <idno type="ISSN">1532-4435</idno>
+    <imprint>
+      <publisher>JMLR.org</publisher>
+      <biblScope unit="volume">12</biblScope>
+      <biblScope unit="issue">10</biblScope>
+      <biblScope unit="page" from="2825" to="2830" />
+      <date type="published" when="2011-10-01" />
+    </imprint>
+  </monogr>
+</biblStruct>"""
+
+_TEI_PAGE_TEXT = """<biblStruct>
+  <analytic><title level="a">T</title></analytic>
+  <monogr>
+    <title level="m">Proc. of Things</title>
+    <meeting><title>NeurIPS</title><placeName>Vancouver</placeName></meeting>
+    <imprint>
+      <biblScope unit="page">11-22</biblScope>
+      <date type="published" when="2019" />
+    </imprint>
+  </monogr>
+</biblStruct>"""
+
+
+def test_tei_biblio_parse(spark):
+    """F15: TEI biblStruct xpath battery (tei2json,
+    populate_staging_area.py:615-751) as a regex-grammar pandas UDF."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"tei": [_TEI_SAMPLE, _TEI_PAGE_TEXT, None, "<junk/>"]}))
+    rows = df.select(dp.parse_tei_biblio("tei").alias("b")).select("b.*").collect()
+    r = rows[0]
+    assert r.title == 'Scikit-learn: Machine Learning in &quot;Python&quot;' \
+        or r.title == 'Scikit-learn: Machine Learning in "Python"'
+    assert r.doi == "10.5555/1953048.2078195"
+    assert r.pmid == "12345"
+    assert r.oa_link == "https://example.org/oa.pdf"
+    assert [a.asDict() for a in r.authors] == [
+        {"given": "Fabian G", "family": "Pedregosa"},
+        {"given": "Gael", "family": "Varoquaux"},
+    ]
+    assert r.journal == "Journal of Machine Learning Research"
+    assert r.publisher == "JMLR.org"
+    assert r.volume == "12" and r.issue == "10"
+    assert r.page == "2825-2830"
+    assert r.issn == "1532-4435"
+    assert r.date == "2011-10-01" and r.year == "2011"
+
+    r2 = rows[1]
+    assert r2.monograph == "Proc. of Things"
+    assert r2.page == "11-22"  # text fallback when from/to absent
+    assert r2.event == "NeurIPS"
+    assert r2.year == "2019"
+
+    r3, r4 = rows[2], rows[3]
+    assert r3.title is None and r3.authors == []
+    assert r4.doi is None
