@@ -30,29 +30,68 @@ def to_claims_json(statements: DataFrame,
     Two-level re-nest: statements -> per-prop arrays -> prop-keyed map ->
     JSON. All native (collect_list / map_from_entries / to_json); order is
     made deterministic by sort_array on (prop) and (value) keys.
+
+    When the input carries a ``qualifiers`` column (fold_statements emits
+    turn-position provenance under P2677), each claim value is rendered
+    with the reference's qualifier shape
+    ``[{"P2677": {"value": ..., "datatype": ...}}]``
+    (populate_from_mentions.py:288-297).
     """
+    has_quals = "qualifiers" in statements.columns
+    fields = [
+        F.col("value"),
+        F.col("datatype"),
+        F.array(F.struct(
+            F.col("source").alias("P248"),
+            F.col("count").alias("count"),
+        )).alias("references"),
+    ]
+    if has_quals:
+        # keep qualifiers as array<struct> through the sort (sort_array
+        # cannot order structs containing MAP); re-shape to the reference's
+        # [{"P2677": {...}}] map form AFTER sorting, below
+        fields.append(F.col("qualifiers"))
     per_stmt = statements.select(
         F.col(entity_col).alias("entity_id"),
         "prop",
-        F.struct(
-            F.col("value"),
-            F.col("datatype"),
-            F.array(F.struct(
-                F.col("source").alias("P248"),
-                F.col("count").alias("count"),
-            )).alias("references"),
-        ).alias("stmt"),
+        F.struct(*fields).alias("stmt"),
     )
     per_prop = (
         per_stmt.groupBy("entity_id", "prop")
         .agg(F.sort_array(F.collect_list("stmt")).alias("stmts"))
     )
-    return (
+    out = (
         per_prop.groupBy("entity_id")
         .agg(F.map_from_entries(
             F.sort_array(F.collect_list(F.struct("prop", "stmts")))
         ).alias("claims"))
-        .withColumn("claims_json", F.to_json("claims"))
+    )
+    if has_quals:
+        # both sorts are done — now reshape each qualifier struct into the
+        # reference's per-claim [{"P2677": {value, datatype}}] map form
+        out = out.withColumn(
+            "claims",
+            F.transform_values(
+                "claims",
+                lambda _, stmts: F.transform(
+                    stmts,
+                    lambda s: F.struct(
+                        s["value"].alias("value"),
+                        s["datatype"].alias("datatype"),
+                        s["references"].alias("references"),
+                        F.transform(
+                            s["qualifiers"],
+                            lambda q: F.map_from_entries(F.array(F.struct(
+                                q["prop"].alias("key"),
+                                F.struct(
+                                    q["value"].alias("value"),
+                                    q["datatype"].alias("datatype"),
+                                ).alias("val"),
+                            ))),
+                        ).alias("qualifiers"),
+                    ))))
+    return (
+        out.withColumn("claims_json", F.to_json("claims"))
         .select("entity_id", "claims_json")
     )
 

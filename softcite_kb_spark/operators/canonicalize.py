@@ -177,6 +177,7 @@ def fold_statements(
     triples: DataFrame,
     canon: DataFrame,
     source: str = "transcripts",
+    max_qualifiers: int = 8,
 ) -> DataFrame:
     """A5/A6: statements per canonical entity with count-summed provenance.
 
@@ -185,6 +186,14 @@ def fold_statements(
     statements merge with count summing; the kept raw value is the
     lexicographically-first raw form (deterministic analog of the
     reference's insertion-order first-wins, arango_common.py:280-287).
+
+    Each statement also carries ``qualifiers`` — up to ``max_qualifiers``
+    turn-position provenance entries ("conv_id:turn_idx" under P2677, the
+    positional qualifier the reference attaches per claim value,
+    populate_from_mentions.py:288-297). Capped BEFORE the collect (window
+    row_number, same partitioning as the fold so no extra shuffle): a hot
+    statement with 10^6 occurrences must not buffer 10^6 structs in one
+    aggregation group.
     """
     t = triples.withColumn("norm_surface", norm_name(F.col("subj")))
     keyed = t.join(
@@ -193,16 +202,37 @@ def fold_statements(
     # fuzzy value normalization: dehyphenation rule of arango_common.py:426-430
     keyed = keyed.withColumn(
         "norm_value", F.replace(F.col("obj"), F.lit("- "), F.lit("")))
-    return (
-        keyed.groupBy("canonical_id", F.col("pred").alias("prop"), "norm_value")
-        .agg(
-            F.min("obj").alias("value"),
-            F.count("*").cast("long").alias("count"),
-        )
-        .select("canonical_id", "prop", "value",
-                F.lit("string").alias("datatype"),
-                F.lit(source).alias("source"), "count")
+    keyed = keyed.withColumn("prop", F.col("pred"))
+    gkeys = ["canonical_id", "prop", "norm_value"]
+    w = W.partitionBy(*gkeys)
+    wo = w.orderBy("conv_id", "turn_idx", "obj")
+    ranked = (
+        keyed
+        .withColumn("rn", F.row_number().over(wo))
+        .withColumn("count", F.count("*").over(w).cast("long"))
+        .withColumn("value", F.min("obj").over(w))
     )
+    folded = (
+        ranked.filter(F.col("rn") <= max_qualifiers)
+        .groupBy(*gkeys)
+        .agg(
+            F.max("value").alias("value"),
+            F.max("count").alias("count"),
+            F.sort_array(F.collect_list(
+                F.struct("conv_id", "turn_idx"))).alias("prov"),
+        )
+    )
+    qualifiers = F.transform(
+        "prov",
+        lambda p: F.struct(
+            F.lit("P2677").alias("prop"),
+            F.concat_ws(":", p["conv_id"], p["turn_idx"]).alias("value"),
+            F.lit("string").alias("datatype")))
+    return folded.select(
+        "canonical_id", "prop", "value",
+        F.lit("string").alias("datatype"),
+        F.lit(source).alias("source"), "count",
+        qualifiers.alias("qualifiers"))
 
 
 def build_nodes(

@@ -112,6 +112,49 @@ def test_statement_count_summing(spark):
     assert r.value == "Py- thon" or r.value == "Python"
     # deterministic: min raw form — "Py- thon" < "Python" lexicographically
     assert r.value == "Py- thon"
+    # qualifiers: turn-position provenance (P2677 analog), sorted, capped
+    assert [(q.prop, q.value) for q in r.qualifiers] == [
+        ("P2677", "c1:0"), ("P2677", "c1:1"), ("P2677", "c2:0"),
+        ("P2677", "c2:1")]
+    assert all(q.datatype == "string" for q in r.qualifiers)
+
+
+def test_statement_qualifiers_capped_and_in_claims_json(spark):
+    """The qualifier list is bounded by max_qualifiers (window cap BEFORE
+    collect) while count still reflects every occurrence; to_claims_json
+    renders the reference's qualifier shape."""
+    import json
+
+    from softcite_kb_spark.kb.converter import to_claims_json
+
+    n = 20
+    triples = spark.createDataFrame(pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(n)],
+        "turn_idx": pd.array([0] * n, dtype="int32"),
+        "subj": ["Statlib"] * n,
+        "pred": ["written_in"] * n,
+        "obj": ["Python"] * n,
+    }))
+    canon = spark.createDataFrame(pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(n)],
+        "norm_surface": ["statlib"] * n,
+        "canonical_id": ["e:Q1"] * n,
+    }))
+    got = cz.fold_statements(triples, canon, max_qualifiers=3).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["count"] == n and len(r.qualifiers) == 3
+    assert [q.value for q in r.qualifiers] == ["c0:0", "c1:0", "c10:0"]
+
+    doc = json.loads(to_claims_json(
+        cz.fold_statements(triples, canon, max_qualifiers=2))
+        .collect()[0].claims_json)
+    stmt = doc["written_in"][0]
+    assert stmt["references"] == [{"P248": "transcripts", "count": n}]
+    assert stmt["qualifiers"] == [
+        {"P2677": {"value": "c0:0", "datatype": "string"}},
+        {"P2677": {"value": "c1:0", "datatype": "string"}},
+    ]
 
 
 def test_edges_resolve_objects_via_authority(spark, corpus):
