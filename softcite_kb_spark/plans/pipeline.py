@@ -117,21 +117,33 @@ class KGPipeline:
 
     # -- metrics / lineage ------------------------------------------------
     def _write_metrics(self, stage: str, df: DataFrame, table: str) -> None:
-        """Per-partition lineage/metrics rows (north_rule requirement)."""
+        """Per-partition lineage/metrics rows (north_rule requirement).
+
+        Append-only (store.append hardlinks prior files — O(new rows), not
+        the O(stages^2) read-and-rewrite a filtered overwrite would cost);
+        ``run_ts`` stamps each commit so readers take the latest rows per
+        (stage, table) — see :func:`read_metrics`.
+        """
         part = (
             df.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").cast("long").alias("n_rows"))
             .withColumn("stage", F.lit(stage))
             .withColumn("table", F.lit(table))
             .withColumn("config", F.lit(self.config.fingerprint()))
+            .withColumn("run_ts", F.lit(time.time()))
         )
-        prev = None
-        if self.store.exists("_metrics"):
-            prev = self.store.read(self.spark, "_metrics")
-            prev = prev.filter(
-                ~((F.col("stage") == stage) & (F.col("table") == table)))
-            part = prev.unionByName(part)
-        self.store.write(part, "_metrics")
+        self.store.append(part, "_metrics")
+
+    def read_metrics(self, current_only: bool = True) -> DataFrame:
+        """The metrics/lineage table; with ``current_only`` keep only each
+        (stage, table)'s latest run (the append log is the full history)."""
+        m = self.store.read(self.spark, "_metrics")
+        if not current_only:
+            return m
+        from pyspark.sql import Window
+        w = Window.partitionBy("stage", "table")
+        return (m.withColumn("__mx", F.max("run_ts").over(w))
+                .filter(F.col("run_ts") == F.col("__mx")).drop("__mx"))
 
     # -- stages -----------------------------------------------------------
     def _blacklist_df(self) -> DataFrame | None:

@@ -26,6 +26,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -91,6 +92,9 @@ class TableStore:
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
+            properties = dict(properties or {})
+            # recorded so merge() can partition-prune later commits
+            properties["partition_by"] = list(partition_by)
         writer.parquet(data_dir)
         # row count from parquet footers (metadata-only; a spark re-scan
         # per commit would double every stage's write cost)
@@ -126,17 +130,138 @@ class TableStore:
         (``collection.has(key)`` guards, Readme.md:261-265) made
         transactional — the merge is one new snapshot, resumable like any
         stage output. First merge into an empty table = plain write.
+
+        Partition pruning (Iceberg ``MERGE INTO`` cost model): when the
+        table was written with a single partition column that is part of
+        the merge key, only partitions containing incoming keys are
+        rewritten; every untouched partition's files are HARDLINKED into
+        the new snapshot directory (the file-reuse a real Iceberg manifest
+        gives you — snapshot expiry just drops link counts). An unaligned
+        or unpartitioned table falls back to the full rewrite; the chosen
+        path is recorded in snapshot properties as ``merge_mode``.
         """
         if not self.exists(table):
             return self.write(df, table, properties)
-        current = self.read(df.sparkSession, table)
-        kept = current.join(
-            df.select(*key_cols).distinct(), key_cols, "left_anti")
-        merged = kept.unionByName(df)
         props = dict(properties or {})
         props["operation"] = "merge"
         props["merge_keys"] = key_cols
-        return self.write(merged, table, props)
+
+        snap = self.current_snapshot(table)
+        part_by = (snap.properties or {}).get("partition_by") or []
+        prunable = (
+            len(part_by) == 1
+            and part_by[0] in key_cols
+            and part_by[0] in df.columns
+        )
+        if not prunable:
+            current = self.read(df.sparkSession, table)
+            kept = current.join(
+                df.select(*key_cols).distinct(), key_cols, "left_anti")
+            merged = kept.unionByName(df)
+            props["merge_mode"] = "full-rewrite"
+            return self.write(merged, table, props,
+                              partition_by=part_by or None)
+
+        pcol = part_by[0]
+        affected = [r[0] for r in df.select(pcol).distinct().collect()]
+        # partition filter reaches the parquet scan: only affected
+        # partitions are read (pushdown prunes the rest)
+        current_affected = self.read(df.sparkSession, table).filter(
+            F.col(pcol).isin(affected))
+        kept = current_affected.join(
+            df.select(*key_cols).distinct(), key_cols, "left_anti")
+        merged_affected = kept.unionByName(df)
+
+        meta = self._load_meta(table)
+        sid = (meta["current"] or 0) + 1
+        data_dir = os.path.join(self.root, table, f"snap-{sid:05d}")
+        merged_affected.write.mode("overwrite").partitionBy(pcol) \
+            .parquet(data_dir)
+        # carry over every untouched partition by hardlink (byte-identical,
+        # zero copy); the affected ones were just written above
+        written = set(os.listdir(data_dir))
+        for entry in os.listdir(snap.path):
+            if entry.startswith(f"{pcol}=") and entry not in written:
+                self._link_tree(os.path.join(snap.path, entry),
+                                os.path.join(data_dir, entry))
+
+        props["merge_mode"] = "pruned"
+        props["partition_by"] = part_by
+        props["rewritten_partitions"] = sorted(str(a) for a in affected)
+        new_snap = Snapshot(
+            snapshot_id=sid,
+            table=table,
+            path=data_dir,
+            row_count=self._parquet_row_count(data_dir),
+            schema_ddl=merged_affected.schema.simpleString(),
+            committed_at=time.time(),
+            properties=props,
+        )
+        meta["snapshots"].append(new_snap.__dict__)
+        meta["current"] = sid
+        self._save_meta(table, meta)
+        for s in meta["snapshots"][:-3]:
+            if os.path.isdir(s["path"]):
+                shutil.rmtree(s["path"], ignore_errors=True)
+        return new_snap
+
+    def append(self, df: DataFrame, table: str,
+               properties: dict[str, Any] | None = None) -> Snapshot:
+        """Append-only commit (Iceberg fast-append analog): previous
+        snapshot files are hardlinked into the new snapshot directory and
+        only the new rows are written — O(new data), not O(table). The
+        schema must be union-compatible with the current snapshot."""
+        if not self.exists(table):
+            return self.write(df, table, properties)
+        meta = self._load_meta(table)
+        snap = self.current_snapshot(table)
+        sid = (meta["current"] or 0) + 1
+        data_dir = os.path.join(self.root, table, f"snap-{sid:05d}")
+        tmp = data_dir + ".tmp-append"
+        df.write.mode("overwrite").parquet(tmp)
+        os.makedirs(data_dir, exist_ok=True)
+        self._link_tree(snap.path, data_dir, suffix=".parquet")
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                # snapshot-prefixed name: can never collide with linked files
+                os.replace(os.path.join(tmp, f),
+                           os.path.join(data_dir, f"a{sid:05d}-{f}"))
+        shutil.rmtree(tmp, ignore_errors=True)
+        props = dict(properties or {})
+        props["operation"] = "append"
+        new_snap = Snapshot(
+            snapshot_id=sid,
+            table=table,
+            path=data_dir,
+            row_count=self._parquet_row_count(data_dir),
+            schema_ddl=df.schema.simpleString(),
+            committed_at=time.time(),
+            properties=props,
+        )
+        meta["snapshots"].append(new_snap.__dict__)
+        meta["current"] = sid
+        self._save_meta(table, meta)
+        for s in meta["snapshots"][:-3]:
+            if os.path.isdir(s["path"]):
+                shutil.rmtree(s["path"], ignore_errors=True)
+        return new_snap
+
+    @staticmethod
+    def _link_tree(src: str, dst: str, suffix: str | None = None) -> None:
+        """Hardlink a partition directory into a new snapshot (copy
+        fallback for filesystems without link support)."""
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            out = os.path.join(dst, rel) if rel != "." else dst
+            os.makedirs(out, exist_ok=True)
+            for f in files:
+                if suffix is not None and not f.endswith(suffix):
+                    continue
+                s, d = os.path.join(root, f), os.path.join(out, f)
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
 
     @staticmethod
     def _parquet_row_count(data_dir: str) -> int:

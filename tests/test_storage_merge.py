@@ -48,3 +48,52 @@ def test_incremental_transcripts_rerun(spark, corpus, tmp_path):
     triples_after = {tuple(r) for r in st.read(spark, "triples").collect()}
     assert triples_before <= triples_after
     assert len(triples_after) > len(triples_before)
+
+
+def test_partition_pruned_merge(spark, tmp_path):
+    """Merging into a partitioned table rewrites ONLY partitions containing
+    incoming keys; every untouched partition's files are carried into the
+    new snapshot byte-identically (hardlinked — same inode)."""
+    import os
+
+    st = TableStore(str(tmp_path / "kb"))
+    base = spark.createDataFrame(pd.DataFrame({
+        "bucket": ["a"] * 3 + ["b"] * 3 + ["c"] * 3,
+        "k": list(range(9)),
+        "v": [f"v{i}" for i in range(9)],
+    }))
+    snap1 = st.write(base, "t", partition_by=["bucket"])
+    assert snap1.properties["partition_by"] == ["bucket"]
+
+    def pfiles(path, part):
+        d = os.path.join(path, f"bucket={part}")
+        return sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before_b = [(p, os.stat(p).st_ino) for p in pfiles(snap1.path, "b")]
+
+    upd = spark.createDataFrame(pd.DataFrame({
+        "bucket": ["a", "a"], "k": [0, 100], "v": ["patched", "new"],
+    }))
+    snap2 = st.merge(upd, "t", key_cols=["bucket", "k"])
+    assert snap2.properties["merge_mode"] == "pruned"
+    assert snap2.properties["rewritten_partitions"] == ["a"]
+
+    # content: upsert applied in partition a, b/c untouched
+    rows = {(r.bucket, r.k): r.v for r in st.read(spark, "t").collect()}
+    assert rows[("a", 0)] == "patched" and rows[("a", 100)] == "new"
+    assert rows[("b", 3)] == "v3" and rows[("c", 8)] == "v8"
+    assert len(rows) == 10
+
+    # untouched partition files: identical inodes (no rewrite, no copy)
+    after_b = [(p.replace(snap1.path, snap2.path), ino) for p, ino in before_b]
+    for p, ino in after_b:
+        assert os.stat(p).st_ino == ino
+
+    # unaligned merge key (partition col not in key) -> safe full rewrite
+    upd2 = spark.createDataFrame(pd.DataFrame(
+        {"bucket": ["b"], "k": [3], "v": ["again"]}))
+    snap3 = st.merge(upd2, "t", key_cols=["k"])
+    assert snap3.properties["merge_mode"] == "full-rewrite"
+    rows3 = {(r.bucket, r.k): r.v for r in st.read(spark, "t").collect()}
+    assert rows3[("b", 3)] == "again" and len(rows3) == 10
