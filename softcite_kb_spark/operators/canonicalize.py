@@ -98,6 +98,93 @@ def connected_components(
     return labels
 
 
+def _star_round(cur: DataFrame) -> DataFrame:
+    """One large-star + small-star round (Kiveris et al., 'Connected
+    Components in MapReduce and Beyond'). Node ids compare with the
+    DataFrame-native ordering (strings: lexicographic) — consistent with
+    the min-label rule used everywhere else."""
+    # large-star: every neighbor v > u re-points to min(Γ(u) ∪ {u})
+    sym = cur.unionByName(cur.select(F.col("b").alias("a"),
+                                     F.col("a").alias("b")))
+    mins = (sym.groupBy("a")
+            .agg(F.min("b").alias("mb"))
+            .select("a", F.least("mb", F.col("a")).alias("m")))
+    large = (
+        sym.filter(F.col("b") > F.col("a"))
+        .join(mins, "a")
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # small-star: neighbors v <= u (and u itself) re-point to their min
+    sym2 = large.unionByName(large.select(F.col("b").alias("a"),
+                                          F.col("a").alias("b")))
+    sle = sym2.filter(F.col("b") < F.col("a"))
+    mins2 = sle.groupBy("a").agg(F.min("b").alias("m"))
+    small = (
+        sle.join(mins2, "a")
+        .select(F.col("b").alias("node"), F.col("m"))
+        .unionByName(mins2.select(F.col("a").alias("node"), F.col("m")))
+        .filter(F.col("node") != F.col("m"))
+        .select(F.col("node").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+    return small
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Large-star/small-star CC — the cluster-scale update rule.
+
+    Same contract as :func:`connected_components` (member_id ->
+    component_id = min member). Min-label propagation converges in
+    O(diameter) shuffles — right for the near-star match graphs blocking
+    produces, wrong for adversarial long chains; the star rules converge
+    in O(log n) rounds on ANY topology, at ~2 shuffles per round. Pick per
+    workload via ``canonical_map(..., algorithm="star")``.
+
+    Convergence probe: (count, hash-sum) signature of the edge multiset —
+    two scalar aggregates per round, no full-set comparison.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    verts = (
+        e.select("a").unionByName(e.select(F.col("b").alias("a"))).distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = e.localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_rounds):
+        cur = _star_round(cur).localCheckpoint(eager=True)
+        sig_row = cur.agg(
+            F.count("*").alias("n"),
+            # decimal sum: a long sum of xxhash64 values overflows ANSI mode
+            F.sum(F.xxhash64(F.concat_ws("\x1f", "a", "b"))
+                  .cast("decimal(28,0)")).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged star: every non-root points at its component min
+    star = cur.select(F.col("a").alias("member_id"),
+                      F.col("b").alias("component_id"))
+    return (
+        verts.select(F.col("a").alias("member_id"))
+        .join(star, "member_id", "left")
+        .select("member_id",
+                F.coalesce("component_id", "member_id").alias("component_id"))
+    )
+
+
 def mention_node_id(conv_id, norm_surface) -> F.Column:
     """Deterministic content-hash id for a per-conversation mention group
     (F10: deterministic ids instead of uuid4, SURVEY.md 7.0). The
@@ -141,18 +228,27 @@ def match_pairs(linked_mentions: DataFrame) -> DataFrame:
     )
 
 
-def canonical_map(linked_mentions: DataFrame, max_iter: int = 25) -> DataFrame:
+def canonical_map(linked_mentions: DataFrame, max_iter: int = 25,
+                  algorithm: str = "label-propagation") -> DataFrame:
     """(node_id, conv_id, norm_surface, entity_id, canonical_id).
 
     canonical_id prefers a component's authority-entity hub ("e:Qxx") if the
     component contains one — matching the reference's rule that merges
     anchor on the curated entity — else the min mention node id.
     Singleton mention-groups (no pairs) are their own canonical.
+
+    ``algorithm``: "label-propagation" (O(diameter) rounds — right for the
+    near-star graphs blocking emits) or "star" (large-star/small-star,
+    O(log n) rounds on any topology — the defensive choice when edge data
+    may contain long chains).
     """
     nodes = linked_mentions.withColumn(
         "node_id", mention_node_id(F.col("conv_id"), F.col("norm_surface")))
     pairs = match_pairs(linked_mentions)
-    cc = connected_components(pairs, max_iter=max_iter)
+    if algorithm == "star":
+        cc = connected_components_star(pairs, max_rounds=max_iter)
+    else:
+        cc = connected_components(pairs, max_iter=max_iter)
 
     # prefer the entity hub as the canonical representative of a component
     hubs = (

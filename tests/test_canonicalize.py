@@ -49,6 +49,51 @@ def test_cc_long_chain_converges(spark):
     assert comps == {"n000"}
 
 
+def test_cc_star_matches_union_find_oracle(spark):
+    """Both update rules must agree with the union-find oracle on mixed
+    topologies (chain + star + pair + triangle)."""
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"),
+             ("h", "x1"), ("h", "x2"), ("h", "x3"),
+             ("p", "q"),
+             ("z1", "z2"), ("z2", "z3"), ("z1", "z3")]
+    df = spark.createDataFrame(pd.DataFrame(pairs, columns=["src", "dst"]))
+    got = {r.member_id: r.component_id
+           for r in cz.connected_components_star(df).collect()}
+    assert got == _union_find(pairs)
+
+
+def test_cc_star_pathological_chain(spark):
+    """A 10^4-node path graph: the worst case for O(diameter) label
+    propagation; large-star/small-star must converge within the O(log n)
+    round budget and label every node with the chain head."""
+    n = 10_000
+    pairs = [(f"n{i:05d}", f"n{i + 1:05d}") for i in range(n - 1)]
+    df = spark.createDataFrame(pd.DataFrame(pairs, columns=["src", "dst"]))
+    got = cz.connected_components_star(df, max_rounds=25)
+    comps = got.select("component_id").distinct().collect()
+    assert {r.component_id for r in comps} == {"n00000"}
+    assert got.count() == n
+
+
+def test_cc_star_equals_label_propagation(spark):
+    """The two update rules produce the identical labeling on a pseudo-
+    random graph (md5-derived edges, deterministic)."""
+    import hashlib
+
+    def h(i, salt):
+        return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:6], 16)
+
+    pairs = [(f"v{h(i, 'a') % 80:02d}", f"v{h(i, 'b') % 80:02d}")
+             for i in range(120)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pd.DataFrame(pairs, columns=["src", "dst"]))
+    lp = {r.member_id: r.component_id
+          for r in cz.connected_components(df, max_iter=40).collect()}
+    st = {r.member_id: r.component_id
+          for r in cz.connected_components_star(df).collect()}
+    assert lp == st == _union_find(pairs)
+
+
 def _pipeline_frames(spark, corpus):
     bl = spark.createDataFrame(pd.DataFrame({"term": datagen.BLACKLIST}))
     triples = ex.extract_triples(corpus["transcripts"], bl)
