@@ -23,9 +23,10 @@ from pyspark.sql import functions as F
 from softcite_kb_spark.queries.api_queries import best_value_per_property
 
 
-def to_claims_json(statements: DataFrame,
-                   entity_col: str = "canonical_id") -> DataFrame:
-    """(entity, claims_json) — one nested Wikidata-style claim doc each.
+def build_claims(statements: DataFrame,
+                 entity_col: str = "canonical_id") -> DataFrame:
+    """(entity_id, claims) — the nested claims column shared by
+    :func:`to_claims_json` and :func:`to_wikidata`.
 
     Two-level re-nest: statements -> per-prop arrays -> prop-keyed map ->
     JSON. All native (collect_list / map_from_entries / to_json); order is
@@ -90,10 +91,59 @@ def to_claims_json(statements: DataFrame,
                             ))),
                         ).alias("qualifiers"),
                     ))))
+    return out
+
+
+def to_claims_json(statements: DataFrame,
+                   entity_col: str = "canonical_id") -> DataFrame:
+    """(entity_id, claims_json) — one nested Wikidata-style claim doc each
+    (internal format, kb/converter.py:126-323 direction)."""
     return (
-        out.withColumn("claims_json", F.to_json("claims"))
+        build_claims(statements, entity_col)
+        .withColumn("claims_json", F.to_json("claims"))
         .select("entity_id", "claims_json")
     )
+
+
+def to_wikidata(nodes: DataFrame, statements: DataFrame,
+                entity_col: str = "canonical_id") -> DataFrame:
+    """Vanilla-Wikidata entity export (convert_to_wikidata,
+    kb/converter.py:64-116): the engine's simplified English-only fields
+    are re-expanded to language level — labels/descriptions/aliases each
+    wrapped under an "en" key exactly like _expend_element
+    (converter.py:117-124) — claims are nested as in the claims doc, and
+    ``type`` is fixed to "item". Returns (entity_id, entity_json).
+    """
+    claims = build_claims(statements, entity_col)
+    n = nodes.select(
+        F.col(entity_col).alias("entity_id"),
+        F.col("label"),
+        F.col("aliases") if "aliases" in nodes.columns
+        else F.array().cast("array<string>").alias("aliases"),
+        F.col("description") if "description" in nodes.columns
+        else F.lit(None).cast("string").alias("description"),
+    )
+    doc = (
+        n.join(claims, "entity_id", "left")
+        .select(
+            "entity_id",
+            F.to_json(F.struct(
+                F.col("entity_id").alias("id"),
+                F.lit("item").alias("type"),
+                F.create_map(F.lit("en"), F.col("label")).alias("labels"),
+                F.when(
+                    F.col("description").isNotNull(),
+                    F.create_map(F.lit("en"), F.col("description")),
+                ).alias("descriptions"),
+                F.create_map(
+                    F.lit("en"),
+                    F.coalesce("aliases", F.array().cast("array<string>")),
+                ).alias("aliases"),
+                F.col("claims"),
+            )).alias("entity_json"),
+        )
+    )
+    return doc
 
 
 def to_simple(statements: DataFrame, naming: DataFrame,
@@ -103,12 +153,20 @@ def to_simple(statements: DataFrame, naming: DataFrame,
     ``naming(id, name)`` is the analog of the reference's naming KV store —
     a small curated table, broadcast (never the shuffle partner of the
     statement fact table).
+
+    The reference's conversion is RECURSIVE over the nested doc
+    (convert_to_simple_format, kb/converter.py:21-62: every key and string
+    value at any depth gets a naming lookup) — here the statements are
+    columnar, so recursion reduces to one more level: when a ``qualifiers``
+    column is present, qualifier props and values are renamed too
+    (explode -> broadcast join -> regroup keyed on a deterministic
+    statement hash, preserving qualifier order).
     """
     prop_names = F.broadcast(naming.select(
         F.col("id").alias("prop"), F.col("name").alias("prop_name")))
     value_names = F.broadcast(naming.select(
         F.col("id").alias("value"), F.col("name").alias("value_name")))
-    return (
+    base = (
         statements
         .join(prop_names, "prop", "left")
         .join(value_names, "value", "left")
@@ -117,7 +175,49 @@ def to_simple(statements: DataFrame, naming: DataFrame,
             F.coalesce("prop_name", "prop").alias("property"),
             F.coalesce("value_name", "value").alias("value"),
             "count",
+            *(["qualifiers"] if "qualifiers" in statements.columns else []),
         )
+    )
+    if "qualifiers" not in statements.columns:
+        return base
+
+    sid = F.sha2(F.concat_ws(
+        "\x1f", "entity_id", "property", "value"), 256)
+    base = base.withColumn("__sid", sid)
+    q = base.select(
+        "__sid", F.posexplode("qualifiers").alias("pos", "q"))
+    qp = F.broadcast(naming.select(
+        F.col("id").alias("qprop"), F.col("name").alias("qprop_name")))
+    qv = F.broadcast(naming.select(
+        F.col("id").alias("qval"), F.col("name").alias("qval_name")))
+    qn = (
+        q.select("__sid", "pos",
+                 F.col("q.prop").alias("qprop"),
+                 F.col("q.value").alias("qval"),
+                 F.col("q.datatype").alias("qdt"))
+        .join(qp, "qprop", "left")
+        .join(qv, "qval", "left")
+        .groupBy("__sid")
+        .agg(F.transform(
+            F.sort_array(F.collect_list(F.struct(
+                F.col("pos"),
+                F.struct(
+                    F.coalesce("qprop_name", "qprop").alias("prop"),
+                    F.coalesce("qval_name", "qval").alias("value"),
+                    F.col("qdt").alias("datatype"),
+                ).alias("q")))),
+            lambda s: s["q"]).alias("qualifiers_named"))
+    )
+    return (
+        base.drop("qualifiers")
+        .join(qn, "__sid", "left")
+        .withColumn(
+            "qualifiers",
+            F.coalesce(
+                "qualifiers_named",
+                F.array().cast(
+                    "array<struct<prop:string,value:string,datatype:string>>")))
+        .drop("__sid", "qualifiers_named")
     )
 
 

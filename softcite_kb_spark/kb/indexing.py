@@ -75,6 +75,42 @@ def flatten_for_search(
     return flat
 
 
+def facets(flat: DataFrame, cols: list[str], k: int = 20) -> DataFrame:
+    """ES-style facet aggregations over the search feed
+    (doc/example-api.md:33-60: the reference exposes per-field bucket
+    counts next to search hits).
+
+    One top-k (value, n) bucket list per requested column; array columns
+    (e.g. ``langs``) facet per element. Output:
+    (facet, value, n) ranked per facet — the native analog of ES
+    ``aggregations``; one scan per facet, same shape ES executes.
+    """
+    from pyspark.sql import types as T
+
+    fields = {f.name: f.dataType for f in flat.schema.fields}
+    frames = []
+    for c in cols:
+        if isinstance(fields.get(c), T.ArrayType):
+            # generators can't nest inside a cast — explode first
+            src = flat.select(F.explode(c).alias("__v"))
+        else:
+            src = flat.select(F.col(c).alias("__v"))
+        g = (
+            src.select(F.col("__v").cast("string").alias("value"))
+            .filter(F.col("value").isNotNull())
+            .groupBy("value")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("value"))
+            .limit(k)
+            .withColumn("facet", F.lit(c))
+        )
+        frames.append(g.select("facet", "value", "n"))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def search(flat: DataFrame, query: str, k: int = 10) -> DataFrame:
     """Minimal full-text search over the feed: token-AND match on ``all``
     ranked by n_mentions (the reference delegates this to ES; this is the

@@ -11,6 +11,7 @@ JVM-side, no UDF. Embedding-cosine near-dup dedup reuses the same kernels.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -61,27 +62,65 @@ def brute_force_topk(
     )
 
 
+def _plane_coef(seed: int, p: int, c: int) -> float:
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{p}:{c}".encode()).hexdigest()[:8]
+    return (int(h, 16) / 0xFFFFFFFF) * 2.0 - 1.0
+
+
+# above this many plane coefficients the literal-array expression tree is
+# the bottleneck (plan size/codegen, not data) — switch to the Arrow path
+_EXPR_COEF_LIMIT = 1024
+
+
 def hyperplane_signs(
-    vec: Column, dim: int, n_planes: int = 8, seed: int = 13
+    vec: Column, dim: int, n_planes: int = 8, seed: int = 13,
+    impl: str = "auto",
 ) -> Column:
     """LSH bucket id from random-hyperplane sign bits.
 
     Hyperplane components are deterministic pseudo-randoms derived from
     md5(seed, plane, coord) — reproducible across engines and runs without
     shipping a plane matrix.
+
+    ``impl``: "expr" embeds the plane matrix as literal arrays — exactly
+    SQL-oracle-reproducible, but the expression tree grows with
+    n_planes*dim (fine at dim 64, plan blow-up at dim 768/1536);
+    "pandas" is an Arrow-batched numpy matmul whose closure carries the
+    matrix — O(1) plan size at any dim (matmul association can flip a sign
+    only when a dot is within fp-epsilon of the hyperplane, measure-zero
+    for real embeddings); "auto" picks by coefficient count.
     """
-    import hashlib
+    if impl == "auto":
+        impl = "expr" if n_planes * dim <= _EXPR_COEF_LIMIT else "pandas"
+    if impl == "expr":
+        bucket = F.lit(0).cast("long")
+        for p in range(n_planes):
+            coeffs = F.array(*[F.lit(_plane_coef(seed, p, c))
+                               for c in range(dim)])
+            dp = _dot(vec.cast("array<double>"), coeffs)
+            bucket = bucket + F.when(dp > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return bucket
 
-    def coef(p: int, c: int) -> float:
-        h = hashlib.md5(f"{seed}:{p}:{c}".encode()).hexdigest()[:8]
-        return (int(h, 16) / 0xFFFFFFFF) * 2.0 - 1.0
+    import numpy as np
 
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        coeffs = F.array(*[F.lit(coef(p, c)) for c in range(dim)])
-        dp = _dot(vec.cast("array<double>"), coeffs)
-        bucket = bucket + F.when(dp > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+    planes = np.array(
+        [[_plane_coef(seed, p, c) for c in range(dim)]
+         for p in range(n_planes)])          # n_planes x dim
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf("long")
+    def signs(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.stack([
+            np.asarray(v, dtype=np.float64) if v is not None
+            else np.zeros(dim) for v in vs])
+        dp = mat @ planes.T                   # rows x n_planes
+        return pd.Series(((dp > 0) @ weights).astype(np.int64))
+
+    return signs(vec)
 
 
 def lsh_topk(

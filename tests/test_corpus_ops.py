@@ -202,3 +202,23 @@ def test_multimodal_null_payload_safe(spark):
     kept = multimodal.decode_media(allm, drop_malformed=False) \
         .filter(F.col("media_id") == 99).collect()
     assert len(kept) == 1 and kept[0].kind is None and kept[0].n_bytes == 0
+
+
+def test_hyperplane_pandas_matches_expr(spark, vectors):
+    """The O(1)-plan-size Arrow matmul path must bucket identically to the
+    literal-expression path (signs only differ within fp-epsilon of a
+    hyperplane — not reachable with the fixture vectors)."""
+    from softcite_kb_spark.operators import similarity as sim
+
+    e = vectors.select(
+        "vec_id",
+        sim.hyperplane_signs(F.col("embedding"), dim=8, n_planes=6,
+                             impl="expr").alias("b_expr"),
+        sim.hyperplane_signs(F.col("embedding"), dim=8, n_planes=6,
+                             impl="pandas").alias("b_pandas"),
+    )
+    assert e.filter(F.col("b_expr") != F.col("b_pandas")).count() == 0
+    # auto switches to pandas when the coefficient count is large
+    big = sim.hyperplane_signs(F.col("embedding"), dim=768, n_planes=8,
+                               impl="auto")
+    assert "signs" in str(big)  # pandas_udf column, not a literal tree

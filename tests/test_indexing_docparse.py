@@ -181,3 +181,19 @@ def test_tei_biblio_parse(spark):
     r3, r4 = rows[2], rows[3]
     assert r3.title is None and r3.authors == []
     assert r4.doi is None
+
+
+def test_facets(spark):
+    """ES-facet analog: per-column top-k buckets, array columns facet per
+    element (doc/example-api.md:33-60)."""
+    flat = spark.createDataFrame(pd.DataFrame({
+        "canonical_id": [f"e{i}" for i in range(6)],
+        "entity_type": ["software"] * 4 + ["person"] * 2,
+        "langs": [["Python"], ["Python", "R"], [], ["R"], [], []],
+        "n_mentions": [5, 4, 3, 2, 1, 1],
+    }))
+    out = ix.facets(flat, ["entity_type", "langs"], k=2)
+    rows = {(r.facet, r.value): r.n for r in out.collect()}
+    assert rows[("entity_type", "software")] == 4
+    assert rows[("entity_type", "person")] == 2
+    assert rows[("langs", "Python")] == 2 and rows[("langs", "R")] == 2

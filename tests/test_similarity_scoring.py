@@ -42,3 +42,4 @@ def test_score_blend_orders_candidates(spark):
     # voting then prefers the true entity
     winner = lk.vote_links(scored, min_total=1).first()
     assert winner.entity_id == "QA"
+

@@ -158,3 +158,57 @@ def test_kv_records_repeated_key_first_wins(spark, tmp_path):
             read_kv_records(spark, str(p), keys=["Package", "Version"]).collect()}
     assert set(rows) == {"foo", "bar"}
     assert rows["foo"].fields["Package"] == "foo"
+
+
+def test_wikidata_reexpansion(spark, statements):
+    """P8 full surface: convert_to_wikidata semantics — labels/aliases
+    re-expanded to language level, type=item, claims nested
+    (kb/converter.py:64-124)."""
+    nodes = spark.createDataFrame(pd.DataFrame({
+        "canonical_id": ["e:Q1", "e:Q2"],
+        "label": ["Statlib", "ScalaKit"],
+        "aliases": [["STATLIB", "Stat-Lib"], []],
+    }))
+    out = {r.entity_id: json.loads(r.entity_json)
+           for r in cv.to_wikidata(nodes, statements).collect()}
+    q1 = out["e:Q1"]
+    assert q1["type"] == "item" and q1["id"] == "e:Q1"
+    assert q1["labels"] == {"en": "Statlib"}
+    assert q1["aliases"] == {"en": ["STATLIB", "Stat-Lib"]}
+    assert "descriptions" not in q1  # absent field stays absent
+    assert {s["value"] for s in q1["claims"]["P277"]} == {"Python", "Rust"}
+    assert out["e:Q2"]["aliases"] == {"en": []}
+
+
+def test_simple_format_renames_qualifiers(spark):
+    """The reference's simple conversion is recursive (converter.py:21-62);
+    with columnar statements that means qualifier props/values get the
+    naming join too, order preserved."""
+    stmts = spark.createDataFrame(pd.DataFrame({
+        "canonical_id": ["e:Q1"],
+        "prop": ["P277"],
+        "value": ["Q28865"],
+        "datatype": ["string"],
+        "source": ["transcripts"],
+        "count": [2],
+        "qualifiers": [[
+            {"prop": "P2677", "value": "c1:0", "datatype": "string"},
+            {"prop": "P2677", "value": "c2:3", "datatype": "string"},
+        ]],
+    }))
+    naming = spark.createDataFrame(pd.DataFrame({
+        "id": ["P277", "Q28865", "P2677"],
+        "name": ["programming language", "Python",
+                 "relative position within image"],
+    }))
+    r = cv.to_simple(stmts, naming).collect()[0]
+    assert r.property == "programming language" and r.value == "Python"
+    assert [(q.prop, q.value) for q in r.qualifiers] == [
+        ("relative position within image", "c1:0"),
+        ("relative position within image", "c2:3")]
+    # statements without qualifiers -> empty array, not null
+    r2 = cv.to_simple(stmts.drop("qualifiers").withColumn(
+        "qualifiers", F.array().cast(
+            "array<struct<prop:string,value:string,datatype:string>>")),
+        naming).collect()[0]
+    assert r2.qualifiers == []
