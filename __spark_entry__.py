@@ -586,6 +586,16 @@ def q39_emb_most_similar_pairs(spark, sf_dir):
     return scored.orderBy(F.desc("cos"), F.asc("id_a"), F.asc("id_b")).limit(20)
 
 
+def q40_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: deterministic coarse quantizer (16 seed centroids),
+    2-probe search — the second ANN scale path next to q28's hyperplane
+    LSH; oracle reproduces cells, probes, and scoring relationally."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return sim.ivf_topk(e, q, n_cells=16, n_probe=2, k=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: stage-1 extraction + fold + A1 ranking on sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -641,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_search_flatten": q37_search_flatten,
         "q38_gazetteer_mentions": q38_gazetteer_mentions,
         "q39_emb_most_similar_pairs": q39_emb_most_similar_pairs,
+        "q40_ivf_topk": q40_ivf_topk,
     }
 
 
@@ -838,6 +849,48 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey::VARCHAR, l_linenumber, 'Part' || l_suppkey
             FROM lineitem WHERE l_orderkey < 3000 AND l_suppkey < 500
+        """,
+        # q40: IVF — same deterministic centroid seed set (16 smallest ids),
+        # rounded-cosine argmax assignment, 2-probe, top-5; every tiebreak
+        # mirrored (cell_id asc, vec_id asc)
+        "q40_ivf_topk": """
+            WITH cents AS (
+              SELECT vec_id AS cell_id, embedding AS cv
+              FROM embeddings ORDER BY vec_id ASC LIMIT 16
+            ), ac AS (
+              SELECT e.vec_id, e.embedding, c.cell_id,
+                     row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       round(list_dot_product(e.embedding::DOUBLE[], c.cv::DOUBLE[])
+                         / greatest(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                                    * sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[])), 1e-12), 6)
+                       DESC, c.cell_id ASC) AS rn
+              FROM embeddings e CROSS JOIN cents c
+            ), assigned AS (
+              SELECT vec_id, embedding, cell_id FROM ac WHERE rn = 1
+            ), qc AS (
+              SELECT q.vec_id AS query_id, q.embedding AS qv, c.cell_id,
+                     row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                       round(list_dot_product(q.embedding::DOUBLE[], c.cv::DOUBLE[])
+                         / greatest(sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                                    * sqrt(list_dot_product(c.cv::DOUBLE[], c.cv::DOUBLE[])), 1e-12), 6)
+                       DESC, c.cell_id ASC) AS rn
+              FROM (SELECT * FROM embeddings WHERE vec_id < 3) q
+              CROSS JOIN cents c
+            ), probes AS (
+              SELECT query_id, qv, cell_id FROM qc WHERE rn <= 2
+            ), scored AS (
+              SELECT p.query_id, a.vec_id,
+                     round(list_dot_product(a.embedding::DOUBLE[], p.qv::DOUBLE[])
+                       / greatest(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                                  * sqrt(list_dot_product(p.qv::DOUBLE[], p.qv::DOUBLE[])), 1e-12), 6) AS cos
+              FROM assigned a JOIN probes p USING (cell_id)
+              WHERE a.vec_id <> p.query_id
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5
         """,
         # q27: decoded fields reconstructed relationally from documents —
         # header fields are modular functions of doc_id, checksum is the

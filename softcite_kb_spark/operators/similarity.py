@@ -157,6 +157,76 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into cells,
+    score each query only against its ``n_probe`` nearest cells.
+
+    The coarse quantizer uses DETERMINISTIC centroids — the corpus vectors
+    with the ``n_cells`` smallest ids (a fixed, engine-reproducible seed
+    set; a production build would run a few Lloyd rounds starting from
+    them, which only moves centroids, not the plan shape). Every step is
+    a DataFrame op: centroid assignment is a broadcast-join argmax, the
+    probe set is a per-query top-n_probe window, and scoring is an
+    equi-join on cell id — the corpus is never self-joined or cross-joined.
+
+    Recall/latency knobs mirror FAISS IVF: more cells = smaller candidate
+    lists; more probes = higher recall. Complements :func:`lsh_topk`
+    (hyperplane buckets) as the second ANN scale path.
+    """
+    cents = (
+        corpus.select(F.col(id_col).alias("cell_id"),
+                      F.col(vec_col).alias("__cv"))
+        .orderBy(F.asc("cell_id"))
+        .limit(n_cells)
+    )
+    # corpus -> nearest centroid (argmax cosine, deterministic tiebreak)
+    scored_cells = (
+        corpus.select(id_col, vec_col)
+        .join(F.broadcast(cents))
+        .withColumn("__ccos", cosine(F.col(vec_col), F.col("__cv")))
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.desc("__ccos"), F.asc("cell_id"))
+    assigned = (
+        scored_cells.withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, "cell_id")
+    )
+    # queries -> top-n_probe cells
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    q_cells = (
+        q.join(F.broadcast(cents))
+        .withColumn("__ccos", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    w_probe = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__ccos"), F.asc("cell_id"))
+    probes = (
+        q_cells.withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= n_probe)
+        .select(query_id_col, "__qv", "cell_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell_id")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cos", cosine(F.col(vec_col), F.col("__qv")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,

@@ -222,3 +222,23 @@ def test_hyperplane_pandas_matches_expr(spark, vectors):
     big = sim.hyperplane_signs(F.col("embedding"), dim=768, n_planes=8,
                                impl="auto")
     assert "signs" in str(big)  # pandas_udf column, not a literal tree
+
+
+def test_ivf_topk_recall(spark, vectors):
+    """IVF probe search returns valid ranked neighbors; with n_probe high
+    enough to cover all cells it equals the exact brute-force top-k."""
+    q = vectors.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.rank): r.vec_id
+             for r in similarity.brute_force_topk(vectors, q, k=3).collect()}
+    full = {(r.query_id, r.rank): r.vec_id
+            for r in similarity.ivf_topk(vectors, q, n_cells=4, n_probe=4,
+                                         k=3).collect()}
+    assert full == exact  # probing every cell == exhaustive search
+    approx = similarity.ivf_topk(vectors, q, n_cells=4, n_probe=1, k=3)
+    rows = approx.collect()
+    assert all(r.rank <= 3 and r.query_id in (0, 1) for r in rows)
+    # near-parallel planted pair (vec 1 ~ 2*vec 0) lands in the same cell:
+    # 1-probe search must still find it
+    top1 = {r.query_id: r.vec_id for r in rows if r.rank == 1}
+    assert top1[0] == 1 and top1[1] == 0
