@@ -74,16 +74,25 @@ def shingles(text: Column, n: int = 3) -> Column:
     explicitly: ``sequence(1, 0)`` would otherwise produce the descending
     array [1, 0] and ``slice(toks, 0, n)`` throws INVALID_PARAMETER_VALUE
     on start=0, killing the whole stage for one short doc.
+
+    The token array is BOUND as a lambda variable (transform over a
+    1-element array): a free ``toks`` captured inside the per-shingle
+    lambda would re-run the whole split() once per shingle — O(len^2)
+    per document.
     """
-    toks = tokens(text)
-    k = F.size(toks) - (n - 1)
-    grams = F.transform(
-        # greatest(k, 1) keeps sequence() ascending even when the WHEN
-        # branch below will discard the result (both branches are planned)
-        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    return F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+    def body(toks: Column) -> Column:
+        k = F.size(toks) - (n - 1)
+        grams = F.transform(
+            # greatest(k, 1) keeps sequence() ascending even when the WHEN
+            # branch below discards the result (both branches are planned)
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        return F.when(k >= 1, grams).otherwise(
+            F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tokens(text)), body), 1)
 
 
 MINHASH_PRIME = 4294967311  # first prime > 2^32
@@ -279,34 +288,95 @@ def simhash_column(text: Column) -> Column:
         mask = F.lit(1 << (b % 32)).cast("long")
         return F.when(half.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1))
 
-    acc = F.aggregate(
-        halves,
-        F.array_repeat(F.lit(0), 64),
-        lambda a, h: F.array(*[a[b] + bit_sign(h, b) for b in range(64)]),
+    def assemble(acc: Column) -> Column:
+        # acc is a BOUND lambda variable here: the fold result is computed
+        # once however many times the 64 subscripts read it. Referencing
+        # the aggregate() expression from an outer projection instead would
+        # re-run the whole O(tokens x 64) fold once PER subscript — the
+        # projection-collapse duplication trap (measured 80x slower).
+        lo_val = sum(
+            (F.when(acc[b] > 0, F.lit(1 << b).cast("long"))
+             .otherwise(F.lit(0).cast("long")) for b in range(32)),
+            start=F.lit(0).cast("long"))
+        hi_val = sum(
+            (F.when(acc[b] > 0, F.lit(1 << (b - 32)).cast("long"))
+             .otherwise(F.lit(0).cast("long")) for b in range(32, 64)),
+            start=F.lit(0).cast("long"))
+        # hi_val < 2^32; java << wraps, giving the signed reinterpretation
+        # for bit 63 — identical to the uint64 view
+        return F.shiftleft(hi_val, 32).bitwiseOR(lo_val)
+
+    # NULL text -> NULL token array -> aggregate() returns NULL without
+    # running finish; normalize to the empty-doc signature 0
+    return F.coalesce(
+        F.aggregate(
+            halves,
+            F.array_repeat(F.lit(0), 64),
+            lambda a, h: F.array(*[a[b] + bit_sign(h, b) for b in range(64)]),
+            assemble,
+        ),
+        F.lit(0).cast("long"),
     )
-    lo_val = sum(
-        (F.when(acc[b] > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-         for b in range(32)),
-        start=F.lit(0).cast("long"))
-    hi_val = sum(
-        (F.when(acc[b] > 0, F.lit(1 << (b - 32)).cast("long")).otherwise(F.lit(0).cast("long"))
-         for b in range(32, 64)),
-        start=F.lit(0).cast("long"))
-    # hi_val < 2^32; java << wraps, giving the signed reinterpretation for
-    # bit 63 — identical to the uint64 view
-    return F.shiftleft(hi_val, 32).bitwiseOR(lo_val)
+
+
+def token_hash64(text: Column) -> Column:
+    """Per-token 64-bit hashes as array<long> (int64 view of the first 16
+    md5 hex chars) — computed ENTIRELY JVM-side; the hex array is bound as
+    a lambda variable so md5 runs once per token."""
+    toks = F.filter(tokens(text), lambda t: t != "")
+
+    def pack(hexes: Column) -> Column:
+        return F.transform(
+            hexes,
+            lambda h: F.shiftleft(
+                F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), 32)
+            .bitwiseOR(F.conv(F.substring(h, 9, 8), 16, 10).cast("long")))
+
+    return F.element_at(
+        F.transform(F.array(F.transform(toks, F.md5)), pack), 1)
 
 
 def add_simhash(df: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text", impl: str = "native") -> DataFrame:
+                text_col: str = "text", impl: str = "hybrid") -> DataFrame:
     """64-bit SimHash per document.
 
-    ``impl='native'`` (default, the 100 TB path): pure Column expressions,
-    zero Python — see :func:`simhash_column`. ``impl='pandas'``: the
-    Arrow-batched reference kernel (per-token hashlib in the batch loop —
-    ~10x slower; kept as the cross-check oracle for the native path and as
-    the template for extractors that genuinely need numpy).
+    Three kernels, identical outputs (tests assert equality); measured at
+    sf0.1 x2 docs, min-of-3, local[8]:
+
+    * ``hybrid`` (default, 0.59 s): md5 JVM-side via :func:`token_hash64`
+      (engine-reproducible, zero Python hashing), bit-matrix sign
+      aggregation as a vectorized numpy matmul in an Arrow UDF. Fastest
+      because the hashing stays in codegen and the 64-wide arithmetic is
+      SIMD instead of an interpreted higher-order fold.
+    * ``native`` (3.09 s): pure Column expressions end-to-end — zero
+      Python anywhere; the 64-slot aggregate() fold is interpreted, which
+      costs ~5x over hybrid. The choice where Python workers are
+      unavailable/banned.
+    * ``pandas`` (1.22 s): the all-Python reference kernel (per-token
+      hashlib inside the batch loop) — kept as the cross-check oracle.
     """
+    if impl == "hybrid":
+        import numpy as np
+
+        @F.pandas_udf(T.LongType())
+        def simhash_bits(hs: pd.Series) -> pd.Series:
+            out = np.zeros(len(hs), np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
+            one = np.uint64(1)
+            for i, arr in enumerate(hs):
+                if arr is None or len(arr) == 0:
+                    continue
+                h = np.asarray(arr, dtype=np.int64).view(np.uint64)[:, None]
+                bits = ((h >> shifts) & one).astype(np.int64)
+                acc = bits.sum(0) * 2 - len(arr)   # (+1/-1) bit sums
+                v = ((acc > 0).astype(np.uint64) << shifts).sum(
+                    dtype=np.uint64)
+                out[i] = v.astype(np.int64)
+            return pd.Series(out)
+
+        return df.withColumn(
+            "simhash", simhash_bits(token_hash64(F.col(text_col))))
+
     if impl == "native":
         return df.withColumn("simhash", simhash_column(F.col(text_col)))
 

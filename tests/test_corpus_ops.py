@@ -175,18 +175,20 @@ def test_lsh_bands_divisibility_enforced(spark, docs):
         dedup.lsh_candidate_pairs(docs, num_perm=16, bands=5)
 
 
-def test_simhash_native_matches_pandas(spark, docs):
-    """The zero-Python Column kernel must reproduce the Arrow/numpy
-    reference kernel bit-for-bit (incl. empty/null/whitespace docs)."""
+def test_simhash_kernels_agree(spark, docs):
+    """All three SimHash kernels (hybrid default, zero-Python native,
+    all-Python reference) must agree bit-for-bit, including empty/null/
+    whitespace docs."""
     extra = spark.createDataFrame(
         pd.DataFrame([(100, ""), (101, None), (102, "   "), (103, "x")],
                      columns=["doc_id", "text"]))
     allx = docs.unionByName(extra)
-    nat = sorted((r.doc_id, r.simhash) for r in
-                 dedup.add_simhash(allx, impl="native").collect())
-    pnd = sorted((r.doc_id, r.simhash) for r in
-                 dedup.add_simhash(allx, impl="pandas").collect())
-    assert nat == pnd
+    outs = [
+        sorted((r.doc_id, r.simhash) for r in
+               dedup.add_simhash(allx, impl=i).collect())
+        for i in ("hybrid", "native", "pandas")
+    ]
+    assert outs[0] == outs[1] == outs[2]
 
 
 def test_multimodal_null_payload_safe(spark):
