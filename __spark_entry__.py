@@ -596,6 +596,43 @@ def q40_ivf_topk(spark, sf_dir):
     return sim.ivf_topk(e, q, n_cells=16, n_probe=2, k=5)
 
 
+def q41_search_facets(spark, sf_dir):
+    """ES-facet analog over a search feed (kb/indexing.facets): per-column
+    top-k buckets, array columns per element."""
+    from softcite_kb_spark.kb.indexing import facets
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    flat = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("entity_type"))
+        .agg(F.sort_array(F.collect_set("l_returnflag")).alias("langs"),
+             F.count("*").cast("long").alias("n_mentions"))
+    )
+    return facets(flat, ["entity_type", "langs"], k=10)
+
+
+def q42_wikidata_export(spark, sf_dir):
+    """P8 vanilla-Wikidata export (to_wikidata): language-level re-expansion
+    + nested claims, JSON rebuilt byte-for-byte by the oracle."""
+    from softcite_kb_spark.kb.converter import to_wikidata
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 50)
+    nodes = p.select(
+        F.col("p_partkey").alias("canonical_id"),
+        F.col("p_name").alias("label"),
+        F.array("p_brand").alias("aliases"),
+    )
+    stmts = li.select(
+        F.col("l_partkey").alias("canonical_id"),
+        F.lit("supplier").alias("prop"),
+        F.col("l_suppkey").cast("string").alias("value"),
+        F.lit("string").alias("datatype"),
+        F.col("l_returnflag").alias("source"),
+        F.col("l_quantity").cast("long").alias("count"),
+    )
+    return to_wikidata(nodes, stmts)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: stage-1 extraction + fold + A1 ranking on sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -652,6 +689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_gazetteer_mentions": q38_gazetteer_mentions,
         "q39_emb_most_similar_pairs": q39_emb_most_similar_pairs,
         "q40_ivf_topk": q40_ivf_topk,
+        "q41_search_facets": q41_search_facets,
+        "q42_wikidata_export": q42_wikidata_export,
     }
 
 
@@ -891,6 +930,53 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5
+        """,
+        # q41: facets — per-column top-k buckets; array column unnested
+        "q41_search_facets": """
+            WITH flat AS (
+              SELECT p_brand AS entity_type,
+                     list_sort(list(DISTINCT l_returnflag)) AS langs
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY 1
+            ), f1 AS (
+              SELECT 'entity_type' AS facet, entity_type AS value,
+                     count(*)::BIGINT AS n
+              FROM flat GROUP BY 2 ORDER BY n DESC, value ASC LIMIT 10
+            ), f2 AS (
+              SELECT 'langs' AS facet, value, count(*)::BIGINT AS n
+              FROM (SELECT unnest(langs) AS value FROM flat)
+              GROUP BY 2 ORDER BY n DESC, value ASC LIMIT 10
+            )
+            SELECT * FROM f1 UNION ALL SELECT * FROM f2
+        """,
+        # q42: to_wikidata JSON rebuilt byte-for-byte — id unquoted
+        # (numeric), labels/aliases wrapped under "en", descriptions
+        # omitted (null field), claims nested as q36
+        "q42_wikidata_export": """
+            WITH nodes AS (
+              SELECT p_partkey AS entity_id, p_name AS label, p_brand
+              FROM part WHERE p_partkey < 50
+            ), s AS (
+              SELECT l_partkey AS entity_id, l_suppkey::VARCHAR AS value,
+                     l_returnflag AS source, l_quantity::BIGINT AS count
+              FROM lineitem WHERE l_orderkey < 2000
+            ), per AS (
+              SELECT entity_id,
+                     string_agg('{"value":"' || value
+                                || '","datatype":"string","references":[{"P248":"'
+                                || source || '","count":' || count || '}]}',
+                                ',' ORDER BY value, source, count) AS arr
+              FROM s GROUP BY 1
+            )
+            SELECT n.entity_id,
+                   '{"id":' || n.entity_id
+                   || ',"type":"item","labels":{"en":"' || n.label
+                   || '"},"aliases":{"en":["' || n.p_brand || '"]}'
+                   || CASE WHEN p.arr IS NOT NULL
+                        THEN ',"claims":{"supplier":[' || p.arr || ']}'
+                        ELSE '' END
+                   || '}' AS entity_json
+            FROM nodes n LEFT JOIN per p USING (entity_id)
         """,
         # q27: decoded fields reconstructed relationally from documents —
         # header fields are modular functions of doc_id, checksum is the
