@@ -87,6 +87,42 @@ def conversation_turn_rates(
     )
 
 
+def stream_dedup_exact(stream: DataFrame, watermark: str = "10 minutes",
+                       text_col: str = "text") -> DataFrame:
+    """Streaming exact dedup: drop rows whose normalized-content
+    fingerprint was already seen within the watermark horizon.
+
+    The streaming analog of ``dedup.dedup_exact`` for a live firehose:
+    ``dropDuplicatesWithinWatermark`` keys the state store on the md5
+    fingerprint and expires state past the watermark — bounded memory at
+    unbounded runtime (a plain dropDuplicates would grow state forever).
+    Batch dedup owns the historical corpus; this guards the tail.
+    """
+    from softcite_kb_spark.operators.textops import fingerprint
+
+    return (
+        stream
+        .withColumn("__fp", fingerprint(F.col(text_col)))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .drop("__fp")
+    )
+
+
+def run_dedup_stream(stream: DataFrame, out_dir: str, checkpoint_dir: str,
+                     watermark: str = "10 minutes"):
+    deduped = stream_dedup_exact(stream, watermark)
+    return (
+        deduped.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 STATS_OUTPUT_SCHEMA = T.StructType([
     T.StructField("conv_id", T.StringType()),
     T.StructField("n_turns_total", T.LongType()),

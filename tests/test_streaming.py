@@ -71,3 +71,38 @@ def test_windowed_turn_rates(spark, tmp_path):
     open_windows = got.filter(
         F.col("window_start") >= "2026-01-05 09:20:00").count()
     assert open_windows == 0
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    """Watermark-bounded streaming dedup: duplicate-content rows are
+    dropped within the horizon; distinct content survives."""
+    src = os.path.join(tmp_path, "src")
+    out = os.path.join(tmp_path, "out")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    pdf = pd.DataFrame({
+        "conv_id": ["c1", "c2", "c3", "c4"],
+        "turn_idx": pd.array([0, 0, 0, 0], dtype="int32"),
+        "role": ["user"] * 4,
+        "text": [
+            "the same document text",
+            "The same document TEXT!",   # norm-dup of row 0
+            "a different document",
+            "the same document text",    # exact dup of row 0
+        ],
+        "tool": [None] * 4,
+        "ts": pd.to_datetime([
+            "2026-01-05 09:00:00", "2026-01-05 09:01:00",
+            "2026-01-05 09:02:00", "2026-01-05 09:03:00",
+        ]).astype("datetime64[us]"),
+    })
+    spark.createDataFrame(pdf, schema=ing.TRANSCRIPT_SCHEMA) \
+        .write.mode("overwrite").parquet(src)
+    stream = ing.read_transcript_stream(spark, src)
+    q = ing.run_dedup_stream(stream, out, ckpt, watermark="10 minutes")
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    texts = sorted(r.text for r in got.collect())
+    assert len(texts) == 2
+    assert "a different document" in texts
+    # exactly one of the three same-fingerprint rows survived
+    assert sum("same document" in t for t in texts) == 1
