@@ -14,9 +14,11 @@ feeds extraction. Design:
     skew risk — ``max_bucket`` caps pathological buckets explicitly, the
     same concern the reference caps with MAX_INDEXED_CONTEXTS_PER_SOFTWARE
     (kb_es_indexing.py:21), but as an explicit knob instead of silence.
-  * SimHash: 64-bit sign-aggregated token hashes via a vectorized pandas
-    UDF (numpy bit ops) — the one op here where per-bit SQL would be
-    unreadable and slower than Arrow-batched numpy.
+  * SimHash: 64-bit sign-aggregated token hashes; default kernel hashes
+    tokens JVM-side (md5, engine-reproducible) and does the 64-wide bit
+    arithmetic as a numpy matmul in an Arrow UDF — measured faster than
+    both the all-Python and the pure-Column variants, which are kept and
+    tested equal (see add_simhash).
   * n-gram Jaccard: exact set overlap on shingles for candidate pairs.
 
 md5-based hashing keeps every signature reproducible in the DuckDB oracle.
@@ -29,10 +31,23 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from typing import Callable
+
 from softcite_kb_spark.operators.textops import fingerprint, tokens
 
 DEFAULT_NUM_PERM = 16
 DEFAULT_BANDS = 4
+
+# A materialization barrier for plans consumed on BOTH sides of a
+# self-join (without one, the upstream hash pipeline runs twice). The
+# default — localCheckpoint — is the single-JVM choice; on a real cluster
+# pass a durable one, e.g.
+#   lambda df: (store.write(df, "scratch_sig"), store.read(spark, "scratch_sig"))[1]
+Materializer = Callable[[DataFrame], DataFrame]
+
+
+def _default_materializer(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=False)
 
 
 def exact_duplicate_groups(
@@ -171,6 +186,7 @@ def lsh_candidate_pairs(
     bands: int = DEFAULT_BANDS,
     shingle_n: int = 3,
     max_bucket: int = 1000,
+    materializer: Materializer | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs via band-bucket self-join.
 
@@ -215,8 +231,9 @@ def lsh_candidate_pairs(
         F.count("*").over(Window.partitionBy("band_idx", "band_hash")))
     stacked = sized.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
     # self-join would recompute the signature scan on both sides — cut it
-    # (at cluster scale: persist to a scratch table instead)
-    stacked = stacked.localCheckpoint(eager=False)
+    # (``materializer``: localCheckpoint here; a scratch-table persist on
+    # a real cluster — see Materializer above)
+    stacked = (materializer or _default_materializer)(stacked)
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -408,16 +425,18 @@ def add_simhash(df: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+                       text_col: str = "text", max_hamming: int = 3,
+                       materializer: Materializer | None = None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
     Blocking: 4 x 16-bit chunks — two signatures within Hamming<=3 share at
     least one identical chunk (pigeonhole), so candidates come from an
     equi-join on (chunk_idx, chunk_value), never a cross join.
     """
-    sh = add_simhash(df.select(id_col, text_col), id_col, text_col) \
-        .select(F.col(id_col).alias("id"), "simhash") \
-        .localCheckpoint(eager=False)  # don't run the UDF on both join sides
+    sh = (materializer or _default_materializer)(
+        add_simhash(df.select(id_col, text_col), id_col, text_col)
+        .select(F.col(id_col).alias("id"), "simhash")
+    )  # don't run the hash kernel on both join sides
     chunks = sh.selectExpr(
         "id", "simhash",
         "stack(4, 0, (simhash >> 0) & 65535, 1, (simhash >> 16) & 65535, "

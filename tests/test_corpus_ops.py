@@ -244,3 +244,25 @@ def test_ivf_topk_recall(spark, vectors):
     # 1-probe search must still find it
     top1 = {r.query_id: r.vec_id for r in rows if r.rank == 1}
     assert top1[0] == 1 and top1[1] == 0
+
+
+def test_lsh_custom_materializer(spark, docs, tmp_path):
+    """The self-join barrier is injectable: a durable scratch-table
+    materializer (the cluster deployment) must produce the same candidate
+    set as the default localCheckpoint."""
+    import os
+
+    calls = []
+
+    def scratch(df):
+        p = os.path.join(tmp_path, f"scratch{len(calls)}")
+        calls.append(p)
+        df.write.mode("overwrite").parquet(p)
+        return spark.read.parquet(p)
+
+    default = {(r.id_a, r.id_b) for r in dedup.lsh_candidate_pairs(
+        docs, num_perm=16, bands=8, shingle_n=2).collect()}
+    durable = {(r.id_a, r.id_b) for r in dedup.lsh_candidate_pairs(
+        docs, num_perm=16, bands=8, shingle_n=2,
+        materializer=scratch).collect()}
+    assert durable == default and len(calls) == 1
