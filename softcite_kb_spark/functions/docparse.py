@@ -202,8 +202,12 @@ def _parse_tei_one(tei: str) -> tuple:
         if not pm:
             continue
         pers = pm.group(0)
+        import html as _html
+
+        # unescape like _elem_text does — lxml .text semantics apply to
+        # forenames just as to every other field
         fornames = [
-            _WS_RE.sub(" ", f).strip()
+            _WS_RE.sub(" ", _html.unescape(f)).strip()
             for f in re.findall(r"<forename[^>]*>(.*?)</forename>", pers, re.S)
         ]
         family = _elem_text(pers, r"<surname[^>]*>(.*?)</surname>")

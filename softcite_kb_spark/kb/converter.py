@@ -162,6 +162,17 @@ def to_simple(statements: DataFrame, naming: DataFrame,
     (explode -> broadcast join -> regroup keyed on a deterministic
     statement hash, preserving qualifier order).
     """
+    has_quals = "qualifiers" in statements.columns
+    # regroup key from the RAW identifiers (pre-rename): two distinct raw
+    # values whose names collide after the naming join must NOT exchange
+    # qualifier lists. source disambiguates same-(prop,value) rows from
+    # different provenance; exact duplicate raw rows share a key (their
+    # qualifier sets merge — the only coherent reading of duplicates).
+    raw_sid = F.sha2(F.concat_ws(
+        "\x1f", F.col(entity_col), "prop", "value",
+        *(["source"] if "source" in statements.columns else [])), 256)
+    if has_quals:
+        statements = statements.withColumn("__sid", raw_sid)
     prop_names = F.broadcast(naming.select(
         F.col("id").alias("prop"), F.col("name").alias("prop_name")))
     value_names = F.broadcast(naming.select(
@@ -175,15 +186,11 @@ def to_simple(statements: DataFrame, naming: DataFrame,
             F.coalesce("prop_name", "prop").alias("property"),
             F.coalesce("value_name", "value").alias("value"),
             "count",
-            *(["qualifiers"] if "qualifiers" in statements.columns else []),
+            *(["__sid", "qualifiers"] if has_quals else []),
         )
     )
-    if "qualifiers" not in statements.columns:
+    if not has_quals:
         return base
-
-    sid = F.sha2(F.concat_ws(
-        "\x1f", "entity_id", "property", "value"), 256)
-    base = base.withColumn("__sid", sid)
     q = base.select(
         "__sid", F.posexplode("qualifiers").alias("pos", "q"))
     qp = F.broadcast(naming.select(
@@ -198,7 +205,7 @@ def to_simple(statements: DataFrame, naming: DataFrame,
         .join(qp, "qprop", "left")
         .join(qv, "qval", "left")
         .groupBy("__sid")
-        .agg(F.transform(
+        .agg(F.array_distinct(F.transform(
             F.sort_array(F.collect_list(F.struct(
                 F.col("pos"),
                 F.struct(
@@ -206,7 +213,7 @@ def to_simple(statements: DataFrame, naming: DataFrame,
                     F.coalesce("qval_name", "qval").alias("value"),
                     F.col("qdt").alias("datatype"),
                 ).alias("q")))),
-            lambda s: s["q"]).alias("qualifiers_named"))
+            lambda s: s["q"])).alias("qualifiers_named"))
     )
     return (
         base.drop("qualifiers")

@@ -87,6 +87,8 @@ def facets(flat: DataFrame, cols: list[str], k: int = 20) -> DataFrame:
     """
     from pyspark.sql import types as T
 
+    if not cols:
+        raise ValueError("facets() needs at least one column to facet on")
     fields = {f.name: f.dataType for f in flat.schema.fields}
     frames = []
     for c in cols:

@@ -162,6 +162,7 @@ def connected_components_star(
     )
     cur = e.localCheckpoint(eager=True)
     prev_sig = None
+    converged = False
     for _ in range(max_rounds):
         cur = _star_round(cur).localCheckpoint(eager=True)
         sig_row = cur.agg(
@@ -172,8 +173,19 @@ def connected_components_star(
         ).collect()[0]
         sig = (sig_row["n"], sig_row["h"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # a non-converged small-star state is NOT a valid labeling (members
+        # can still point at non-roots, even at multiple components) —
+        # refuse to return silently-wrong components. O(log n) rounds
+        # suffice for any graph; exhausting the budget means it was set
+        # far too low for the vertex count.
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"max_rounds={max_rounds}; raise the budget "
+            f"(O(log n) rounds suffice)")
     # converged star: every non-root points at its component min
     star = cur.select(F.col("a").alias("member_id"),
                       F.col("b").alias("component_id"))

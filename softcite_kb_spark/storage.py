@@ -96,6 +96,10 @@ class TableStore:
             # recorded so merge() can partition-prune later commits
             properties["partition_by"] = list(partition_by)
         writer.parquet(data_dir)
+        properties = dict(properties or {})
+        # exact reader schema: partition-directory values otherwise go
+        # through type INFERENCE on read (string '01' -> bigint 1)
+        properties["schema_json"] = df.schema.json()
         # row count from parquet footers (metadata-only; a spark re-scan
         # per commit would double every stage's write cost)
         n = self._parquet_row_count(data_dir)
@@ -153,10 +157,16 @@ class TableStore:
             and part_by[0] in key_cols
             and part_by[0] in df.columns
         )
+        if prunable:
+            # a NULL partition value defeats both the isin() prune (NULL
+            # comparison -> NULL -> old NULL-partition rows silently
+            # dropped) and the __HIVE_DEFAULT_PARTITION__ directory carry-
+            # over — take the safe full rewrite instead
+            if df.filter(F.col(part_by[0]).isNull()).limit(1).count() > 0:
+                prunable = False
         if not prunable:
             current = self.read(df.sparkSession, table)
-            kept = current.join(
-                df.select(*key_cols).distinct(), key_cols, "left_anti")
+            kept = self._anti_by_keys(current, df, key_cols)
             merged = kept.unionByName(df)
             props["merge_mode"] = "full-rewrite"
             return self.write(merged, table, props,
@@ -168,8 +178,7 @@ class TableStore:
         # partitions are read (pushdown prunes the rest)
         current_affected = self.read(df.sparkSession, table).filter(
             F.col(pcol).isin(affected))
-        kept = current_affected.join(
-            df.select(*key_cols).distinct(), key_cols, "left_anti")
+        kept = self._anti_by_keys(current_affected, df, key_cols)
         merged_affected = kept.unionByName(df)
 
         meta = self._load_meta(table)
@@ -187,6 +196,7 @@ class TableStore:
 
         props["merge_mode"] = "pruned"
         props["partition_by"] = part_by
+        props["schema_json"] = merged_affected.schema.json()
         props["rewritten_partitions"] = sorted(str(a) for a in affected)
         new_snap = Snapshot(
             snapshot_id=sid,
@@ -210,25 +220,43 @@ class TableStore:
         """Append-only commit (Iceberg fast-append analog): previous
         snapshot files are hardlinked into the new snapshot directory and
         only the new rows are written — O(new data), not O(table). The
-        schema must be union-compatible with the current snapshot."""
+        schema must be union-compatible with the current snapshot.
+
+        On a partitioned table, the new rows are written with the SAME
+        partitioning and their files are moved into the matching partition
+        directories — mixing root-level files into a dir-partitioned layout
+        would make the reader drop them with COLUMN_ALREADY_EXISTS.
+        """
         if not self.exists(table):
             return self.write(df, table, properties)
         meta = self._load_meta(table)
         snap = self.current_snapshot(table)
+        part_by = (snap.properties or {}).get("partition_by") or []
         sid = (meta["current"] or 0) + 1
         data_dir = os.path.join(self.root, table, f"snap-{sid:05d}")
         tmp = data_dir + ".tmp-append"
-        df.write.mode("overwrite").parquet(tmp)
+        writer = df.write.mode("overwrite")
+        if part_by:
+            writer = writer.partitionBy(*part_by)
+        writer.parquet(tmp)
         os.makedirs(data_dir, exist_ok=True)
         self._link_tree(snap.path, data_dir, suffix=".parquet")
-        for f in os.listdir(tmp):
-            if f.endswith(".parquet"):
-                # snapshot-prefixed name: can never collide with linked files
-                os.replace(os.path.join(tmp, f),
-                           os.path.join(data_dir, f"a{sid:05d}-{f}"))
+        # move new files in, snapshot-prefixed (can never collide with the
+        # linked files), preserving partition subdirectories
+        for root, _dirs, files in os.walk(tmp):
+            rel = os.path.relpath(root, tmp)
+            out = os.path.join(data_dir, rel) if rel != "." else data_dir
+            os.makedirs(out, exist_ok=True)
+            for f in files:
+                if f.endswith(".parquet"):
+                    os.replace(os.path.join(root, f),
+                               os.path.join(out, f"a{sid:05d}-{f}"))
         shutil.rmtree(tmp, ignore_errors=True)
         props = dict(properties or {})
         props["operation"] = "append"
+        props["schema_json"] = df.schema.json()
+        if part_by:
+            props["partition_by"] = list(part_by)
         new_snap = Snapshot(
             snapshot_id=sid,
             table=table,
@@ -245,6 +273,21 @@ class TableStore:
             if os.path.isdir(s["path"]):
                 shutil.rmtree(s["path"], ignore_errors=True)
         return new_snap
+
+    @staticmethod
+    def _anti_by_keys(current: DataFrame, incoming: DataFrame,
+                      key_cols: list[str]) -> DataFrame:
+        """Current rows whose key does NOT appear in the incoming batch —
+        with NULL-SAFE key equality: a plain equi-anti-join would treat a
+        NULL key component as never-matching, silently keeping the old row
+        next to its replacement (duplicate keys after the merge)."""
+        inc = incoming.select(*key_cols).distinct().alias("__inc")
+        cur = current.alias("__cur")
+        cond = None
+        for k in key_cols:
+            c = F.col(f"__cur.{k}").eqNullSafe(F.col(f"__inc.{k}"))
+            cond = c if cond is None else (cond & c)
+        return cur.join(inc, cond, "left_anti")
 
     @staticmethod
     def _link_tree(src: str, dst: str, suffix: str | None = None) -> None:
@@ -278,6 +321,12 @@ class TableStore:
         snap = self.current_snapshot(table)
         if snap is None:
             raise FileNotFoundError(f"table {table!r} has no snapshot in {self.root}")
+        schema_json = (snap.properties or {}).get("schema_json")
+        if schema_json:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(schema_json))
+            return spark.read.schema(schema).parquet(snap.path)
         return spark.read.parquet(snap.path)
 
     def drop(self, table: str) -> None:

@@ -239,3 +239,14 @@ def test_nodes_and_edges_materialize(spark, corpus):
     assert dangling == 0
     assert edges.filter(F.col("rel") == "has_version").count() == 0
     assert edges.filter(F.col("count") <= 0).count() == 0
+
+
+def test_cc_star_refuses_nonconverged(spark):
+    """Exhausting the round budget raises instead of returning a
+    silently-fragmented labeling."""
+    import pytest
+
+    pairs = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(60)]
+    df = spark.createDataFrame(pd.DataFrame(pairs, columns=["src", "dst"]))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cz.connected_components_star(df, max_rounds=2)

@@ -197,3 +197,22 @@ def test_facets(spark):
     assert rows[("entity_type", "software")] == 4
     assert rows[("entity_type", "person")] == 2
     assert rows[("langs", "Python")] == 2 and rows[("langs", "R")] == 2
+
+
+def test_facets_empty_cols_rejected(spark):
+    import pytest
+    flat = spark.createDataFrame(pd.DataFrame({"a": [1]}))
+    with pytest.raises(ValueError, match="at least one column"):
+        ix.facets(flat, [])
+
+
+def test_tei_forename_unescaped(spark):
+    tei = ('<biblStruct><analytic><title level="a">T</title>'
+           '<author><persName><forename>Jos&#233;</forename>'
+           '<surname>N&#233;e</surname></persName></author>'
+           '</analytic></biblStruct>')
+    r = spark.createDataFrame(pd.DataFrame({"tei": [tei]})) \
+        .select(dp.parse_tei_biblio("tei").alias("b")).select("b.*") \
+        .collect()[0]
+    assert r.authors[0].given == "José"
+    assert r.authors[0].family == "Née"

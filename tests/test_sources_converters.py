@@ -212,3 +212,27 @@ def test_simple_format_renames_qualifiers(spark):
             "array<struct<prop:string,value:string,datatype:string>>")),
         naming).collect()[0]
     assert r2.qualifiers == []
+
+
+def test_simple_format_qualifier_no_collision(spark):
+    """Two raw values renaming to the SAME display name must keep their
+    own qualifier lists (regroup keys on raw ids, not renamed ones)."""
+    stmts = spark.createDataFrame(pd.DataFrame({
+        "canonical_id": ["e:Q1", "e:Q1"],
+        "prop": ["P277", "P277"],
+        "value": ["Q1x", "Q2x"],
+        "datatype": ["string"] * 2,
+        "source": ["transcripts"] * 2,
+        "count": [1, 1],
+        "qualifiers": [
+            [{"prop": "P2677", "value": "c1:0", "datatype": "string"}],
+            [{"prop": "P2677", "value": "c9:9", "datatype": "string"}],
+        ],
+    }))
+    naming = spark.createDataFrame(pd.DataFrame({
+        "id": ["Q1x", "Q2x"], "name": ["Python", "Python"],
+    }))
+    rows = cv.to_simple(stmts, naming).collect()
+    assert len(rows) == 2
+    quals = sorted(tuple(q.value for q in r.qualifiers) for r in rows)
+    assert quals == [("c1:0",), ("c9:9",)]

@@ -97,3 +97,39 @@ def test_partition_pruned_merge(spark, tmp_path):
     assert snap3.properties["merge_mode"] == "full-rewrite"
     rows3 = {(r.bucket, r.k): r.v for r in st.read(spark, "t").collect()}
     assert rows3[("b", 3)] == "again" and len(rows3) == 10
+
+
+def test_merge_and_append_null_and_typed_partitions(spark, tmp_path):
+    """Review regressions: (a) NULL partition values in the incoming df
+    must not silently drop existing NULL-partition rows (safe full-rewrite
+    fallback); (b) append on a partitioned table must keep the appended
+    rows readable; (c) string partition values like '01' must round-trip
+    (no bigint inference)."""
+    st = TableStore(str(tmp_path / "kb"))
+    base = spark.createDataFrame(pd.DataFrame({
+        "bucket": ["01", "2", None, None],
+        "k": [1, 2, 3, 4],
+        "v": ["a", "b", "c", "d"],
+    }))
+    st.write(base, "t", partition_by=["bucket"])
+    # (c) string partition round-trip
+    got = {(r.bucket, r.k): r.v for r in st.read(spark, "t").collect()}
+    assert ("01", 1) in got and (None, 3) in got
+
+    # (a) incoming NULL partition -> full rewrite, nothing lost
+    upd = spark.createDataFrame(pd.DataFrame(
+        {"bucket": [None], "k": [3], "v": ["patched"]}))
+    snap = st.merge(upd, "t", key_cols=["bucket", "k"])
+    assert snap.properties["merge_mode"] == "full-rewrite"
+    got = {(r.bucket, r.k): r.v for r in st.read(spark, "t").collect()}
+    assert got[(None, 3)] == "patched" and got[(None, 4)] == "d"
+    assert got[("01", 1)] == "a" and len(got) == 4
+
+    # (b) append keeps partition layout and the new rows
+    extra = spark.createDataFrame(pd.DataFrame(
+        {"bucket": ["2"], "k": [9], "v": ["appended"]}))
+    snap2 = st.append(extra, "t")
+    got = {(r.bucket, r.k): r.v for r in st.read(spark, "t").collect()}
+    assert got[("2", 9)] == "appended" and len(got) == 5
+    # and a later merge still sees the table as partitioned
+    assert snap2.properties["partition_by"] == ["bucket"]
