@@ -241,7 +241,8 @@ def match_pairs(linked_mentions: DataFrame) -> DataFrame:
 
 
 def canonical_map(linked_mentions: DataFrame, max_iter: int = 25,
-                  algorithm: str = "label-propagation") -> DataFrame:
+                  algorithm: str = "label-propagation",
+                  star_rounds: int = 50) -> DataFrame:
     """(node_id, conv_id, norm_surface, entity_id, canonical_id).
 
     canonical_id prefers a component's authority-entity hub ("e:Qxx") if the
@@ -250,15 +251,18 @@ def canonical_map(linked_mentions: DataFrame, max_iter: int = 25,
     Singleton mention-groups (no pairs) are their own canonical.
 
     ``algorithm``: "label-propagation" (O(diameter) rounds — right for the
-    near-star graphs blocking emits) or "star" (large-star/small-star,
-    O(log n) rounds on any topology — the defensive choice when edge data
-    may contain long chains).
+    near-star graphs blocking emits; budget = ``max_iter``) or "star"
+    (large-star/small-star, O(log n) rounds on any topology — the
+    defensive choice when edge data may contain long chains; budget =
+    ``star_rounds``, a separate knob because star rounds and LP iterations
+    are different units and the star path REFUSES to return non-converged
+    labelings).
     """
     nodes = linked_mentions.withColumn(
         "node_id", mention_node_id(F.col("conv_id"), F.col("norm_surface")))
     pairs = match_pairs(linked_mentions)
     if algorithm == "star":
-        cc = connected_components_star(pairs, max_rounds=max_iter)
+        cc = connected_components_star(pairs, max_rounds=star_rounds)
     else:
         cc = connected_components(pairs, max_iter=max_iter)
 
