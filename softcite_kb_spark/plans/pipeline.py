@@ -37,6 +37,9 @@ class PipelineConfig:
     blacklist: tuple[str, ...] = ()
     min_vote_total: int = 2
     cc_max_iter: int = 25
+    # "label-propagation" (O(diameter), right for blocking's near-star
+    # graphs) or "star" (large-star/small-star, O(log n) on any topology)
+    cc_algorithm: str = "label-propagation"
     source_name: str = "transcripts"
     similarity_scoring: bool = False
     extra: dict = field(default_factory=dict)
@@ -46,6 +49,7 @@ class PipelineConfig:
             {"blacklist": sorted(self.blacklist),
              "min_vote_total": self.min_vote_total,
              "cc_max_iter": self.cc_max_iter,
+             "cc_algorithm": self.cc_algorithm,
              "source_name": self.source_name,
              "similarity_scoring": self.similarity_scoring,
              "extra": self.extra},
@@ -198,7 +202,8 @@ class KGPipeline:
         linked = self.store.read(self.spark, "linked_mentions")
         triples = self.store.read(self.spark, "triples")
         auth = self.store.read(self.spark, "authority_entities")
-        canon = cz.canonical_map(linked, max_iter=self.config.cc_max_iter)
+        canon = cz.canonical_map(linked, max_iter=self.config.cc_max_iter,
+                                 algorithm=self.config.cc_algorithm)
         self.store.write(canon, "canonical_map")
         canon = self.store.read(self.spark, "canonical_map")
         stmts = cz.fold_statements(triples, canon, source=self.config.source_name)

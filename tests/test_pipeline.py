@@ -92,3 +92,34 @@ def test_config_change_invalidates(spark, store):
                        PipelineConfig(blacklist=("OTHER",), min_vote_total=1))
     r = pipe2.run()
     assert all(v == "ran" for v in r.values())
+
+
+def test_pipeline_star_cc_equivalent(spark, corpus, tmp_path):
+    """End-to-end: the star-CC update rule plugged in via
+    PipelineConfig(cc_algorithm='star') produces the identical KB (nodes,
+    edges, statements) as label propagation."""
+    hashes = {}
+    for algo in ("label-propagation", "star"):
+        st = TableStore(str(tmp_path / algo))
+        for name in ("transcripts", "authority_entities", "authority_ids"):
+            st.write(corpus[name], name)
+        cfg = PipelineConfig(blacklist=tuple(datagen.BLACKLIST),
+                             min_vote_total=1, cc_algorithm=algo)
+        KGPipeline(spark, st, cfg).run()
+        hashes[algo] = {t: _table_hash(spark, st, t)
+                        for t in ("nodes", "edges", "statements")}
+    assert hashes["label-propagation"] == hashes["star"]
+
+
+def test_read_metrics_latest_per_stage(spark, store):
+    """The append-only metrics log keeps history; read_metrics collapses
+    to the latest run per (stage, table)."""
+    pipe = KGPipeline(spark, store, _cfg())
+    pipe.run()
+    pipe.run(resume=False)  # second full run appends a second metrics set
+    full = pipe.read_metrics(current_only=False)
+    cur = pipe.read_metrics()
+    assert full.count() > cur.count()
+    per = (cur.groupBy("stage", "table")
+           .agg(F.countDistinct("run_ts").alias("n")).collect())
+    assert all(r.n == 1 for r in per)
