@@ -157,12 +157,70 @@ def lsh_topk(
     )
 
 
+def _assign_cells(corpus: DataFrame, cents: DataFrame,
+                  id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec, cell_id): each corpus vector joined to its nearest
+    centroid — broadcast argmax cosine with a deterministic tiebreak."""
+    scored_cells = (
+        corpus.select(id_col, vec_col)
+        .join(F.broadcast(cents))
+        .withColumn("__ccos", cosine(F.col(vec_col), F.col("__cv")))
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.desc("__ccos"), F.asc("cell_id"))
+    return (
+        scored_cells.withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, "cell_id")
+    )
+
+
+def refine_centroids(
+    corpus: DataFrame,
+    cents: DataFrame,
+    rounds: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd refinement of the coarse quantizer, distributed: assign ->
+    per-(cell, coordinate) mean (posexplode + groupBy, never a driver
+    loop) -> rebuilt centroid arrays. Means are rounded to 6 decimals so
+    the refined centroids are deterministic across partitionings (double
+    summation order only moves the last ulps). Cells that lose all
+    members keep their previous centroid.
+    """
+    for _ in range(rounds):
+        assigned = _assign_cells(corpus, cents, id_col, vec_col)
+        coords = assigned.select(
+            "cell_id",
+            F.posexplode(F.col(vec_col).cast("array<double>"))
+            .alias("pos", "x"))
+        means = (
+            coords.groupBy("cell_id", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("cell_id")
+            .agg(F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"]).alias("__new"))
+        )
+        cents = (
+            cents.join(means, "cell_id", "left")
+            .select("cell_id",
+                    F.coalesce("__new",
+                               F.col("__cv").cast("array<double>"))
+                    .alias("__cv"))
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     n_cells: int = 16,
     n_probe: int = 2,
     k: int = 5,
+    lloyd_rounds: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -170,13 +228,15 @@ def ivf_topk(
     """IVF-style approximate top-k: coarse-quantize the corpus into cells,
     score each query only against its ``n_probe`` nearest cells.
 
-    The coarse quantizer uses DETERMINISTIC centroids — the corpus vectors
-    with the ``n_cells`` smallest ids (a fixed, engine-reproducible seed
-    set; a production build would run a few Lloyd rounds starting from
-    them, which only moves centroids, not the plan shape). Every step is
-    a DataFrame op: centroid assignment is a broadcast-join argmax, the
-    probe set is a per-query top-n_probe window, and scoring is an
-    equi-join on cell id — the corpus is never self-joined or cross-joined.
+    The coarse quantizer starts from DETERMINISTIC seed centroids — the
+    corpus vectors with the ``n_cells`` smallest ids (engine-reproducible,
+    which is what lets the q40 oracle rebuild the whole search in SQL) —
+    optionally refined with ``lloyd_rounds`` distributed k-means rounds
+    (:func:`refine_centroids`; better cell balance, same plan shape).
+    Every step is a DataFrame op: centroid assignment is a broadcast-join
+    argmax, the probe set is a per-query top-n_probe window, and scoring
+    is an equi-join on cell id — the corpus is never self-joined or
+    cross-joined.
 
     Recall/latency knobs mirror FAISS IVF: more cells = smaller candidate
     lists; more probes = higher recall. Complements :func:`lsh_topk`
@@ -188,19 +248,10 @@ def ivf_topk(
         .orderBy(F.asc("cell_id"))
         .limit(n_cells)
     )
-    # corpus -> nearest centroid (argmax cosine, deterministic tiebreak)
-    scored_cells = (
-        corpus.select(id_col, vec_col)
-        .join(F.broadcast(cents))
-        .withColumn("__ccos", cosine(F.col(vec_col), F.col("__cv")))
-    )
-    w_assign = Window.partitionBy(id_col).orderBy(
-        F.desc("__ccos"), F.asc("cell_id"))
-    assigned = (
-        scored_cells.withColumn("__rn", F.row_number().over(w_assign))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col, "cell_id")
-    )
+    if lloyd_rounds > 0:
+        cents = refine_centroids(corpus, cents, lloyd_rounds,
+                                 id_col=id_col, vec_col=vec_col)
+    assigned = _assign_cells(corpus, cents, id_col, vec_col)
     # queries -> top-n_probe cells
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
     q_cells = (

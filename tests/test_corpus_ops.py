@@ -266,3 +266,25 @@ def test_lsh_custom_materializer(spark, docs, tmp_path):
         docs, num_perm=16, bands=8, shingle_n=2,
         materializer=scratch).collect()}
     assert durable == default and len(calls) == 1
+
+
+def test_ivf_lloyd_refinement(spark, vectors):
+    """Lloyd rounds move centroids but preserve the exhaustive-search
+    invariant (probe-all == brute force) and stay deterministic across
+    input partitionings."""
+    q = vectors.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.rank): r.vec_id
+             for r in similarity.brute_force_topk(vectors, q, k=3).collect()}
+    refined = {(r.query_id, r.rank): r.vec_id
+               for r in similarity.ivf_topk(
+                   vectors, q, n_cells=4, n_probe=4, k=3,
+                   lloyd_rounds=2).collect()}
+    assert refined == exact
+    # determinism: shuffled input -> identical 1-probe results
+    a = sorted(map(tuple, similarity.ivf_topk(
+        vectors, q, n_cells=4, n_probe=1, k=3, lloyd_rounds=2).collect()))
+    b = sorted(map(tuple, similarity.ivf_topk(
+        vectors.repartition(7), q, n_cells=4, n_probe=1, k=3,
+        lloyd_rounds=2).collect()))
+    assert a == b
