@@ -475,23 +475,43 @@ def q34_hyphen_variant(spark, sf_dir):
 
 
 def q35_event_sessions(spark, sf_dir):
-    """Gap-based sessionization via lag window (stream-analog in batch):
-    a new session starts after a >30min silence; count sessions per user."""
+    """Gap-based sessionization (operators/temporal.sessionize — lag +
+    running sum, stream-session analog in batch): a new session starts
+    after a >30min silence; count sessions per user."""
+    from softcite_kb_spark.operators.temporal import sessionize
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    sess = (
-        e.withColumn("prev_ts", F.lag("ts").over(w))
-        .withColumn(
-            "new_sess",
-            F.when(F.col("prev_ts").isNull(), 1)
-            .when(F.col("ts").cast("timestamp").cast("long")
-                  - F.col("prev_ts").cast("timestamp").cast("long")
-                  > 1800, 1).otherwise(0))
-    )
+    s = sessionize(e, ["user_id"], "ts", gap_seconds=1800,
+                   order_tiebreak=["event_id"])
     return (
-        sess.groupBy("user_id")
-        .agg(F.sum("new_sess").cast("long").alias("n_sessions"),
+        s.groupBy("user_id")
+        .agg(F.max("session_idx").cast("long").alias("n_sessions"),
              F.count("*").cast("long").alias("n_events"))
+    )
+
+
+def q43_asof_join(spark, sf_dir):
+    """As-of join (operators/temporal.asof_join): each purchase event
+    gains the latest prior-or-simultaneous view event of the same user —
+    oracle is DuckDB's native ASOF LEFT JOIN."""
+    from softcite_kb_spark.operators.temporal import asof_join
+    e = _t(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", F.round("value", 6).alias("v"))
+    right = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+        F.round("value", 6).alias("r_value"))
+    out = asof_join(left, right, ["user_id"], "ts", "r_ts")
+    # no-match NULLs -> sentinels: pandas floats NULL bigint columns to
+    # NaN and timestamps to NaT, breaking the driver's value compare
+    # (same convention as q29's cube sentinels)
+    return out.select(
+        "user_id", "event_id", "ts", "v",
+        F.coalesce("r_event_id", F.lit(-1)).alias("r_event_id"),
+        F.coalesce("r_ts",
+                   F.lit("1970-01-01 00:00:00").cast("timestamp")).alias("r_ts"),
+        F.coalesce("r_value", F.lit(-1.0)).alias("r_value"),
     )
 
 
@@ -691,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_ivf_topk": q40_ivf_topk,
         "q41_search_facets": q41_search_facets,
         "q42_wikidata_export": q42_wikidata_export,
+        "q43_asof_join": q43_asof_join,
     }
 
 
@@ -930,6 +951,24 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5
+        """,
+        # q43: DuckDB's native ASOF LEFT JOIN is the oracle for the
+        # union+window as-of implementation
+        "q43_asof_join": """
+            WITH l AS (
+              SELECT user_id, event_id, ts, round(value, 6) AS v
+              FROM events WHERE event_type = 'purchase'
+            ), r AS (
+              SELECT user_id, event_id AS r_event_id, ts AS r_ts,
+                     round(value, 6) AS r_value
+              FROM events WHERE event_type = 'view'
+            )
+            SELECT l.user_id, l.event_id, l.ts, l.v,
+                   coalesce(r.r_event_id, -1) AS r_event_id,
+                   coalesce(r.r_ts, TIMESTAMP '1970-01-01 00:00:00') AS r_ts,
+                   coalesce(r.r_value, -1.0) AS r_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.r_ts
         """,
         # q41: facets — per-column top-k buckets; array column unnested
         "q41_search_facets": """

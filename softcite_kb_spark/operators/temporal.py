@@ -1,0 +1,122 @@
+"""Temporal join/segmentation operators Spark's built-ins don't provide.
+
+  * :func:`asof_join` — "latest right row at or before each left row" per
+    key, WITHOUT a range cross-join: both sides union into one
+    time-ordered stream and a last-non-null window carries the most
+    recent right payload forward onto left rows. ONE shuffle on
+    (key, ts) — the classic distributed as-of strategy; a naive
+    ``l.ts >= r.ts`` join is a per-key cross product that explodes on hot
+    keys at scale.
+  * :func:`sessionize` — gap-based session ids via lag + running sum
+    (the batch analog of a streaming session window).
+
+Both are pure Column programs (whole-stage codegen), oracle-checkable
+against DuckDB's native ASOF JOIN / window functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Backward (inclusive) as-of join: each left row gains the right row
+    with the greatest ``right_ts`` <= ``left_ts`` for the same key; left
+    rows with no prior right row keep NULL right columns (left-outer
+    semantics — same contract as DuckDB/kdb ASOF LEFT JOIN).
+
+    Right payload columns are carried under their own names — they must
+    not collide with left column names (rename on the way in). Ties on
+    ``right_ts`` within a key resolve to the greatest payload struct
+    (deterministic lexicographic-on-fields tiebreak).
+    """
+    rpay_cols = [c for c in right.columns if c not in key_cols]
+    collide = set(rpay_cols) & set(left.columns)
+    if collide:
+        raise ValueError(
+            f"right payload columns collide with left columns: "
+            f"{sorted(collide)}; rename before joining")
+    lpay_cols = [c for c in left.columns if c not in key_cols]
+
+    lt = left.select(
+        *key_cols,
+        F.col(left_ts).alias("__ts"),
+        F.struct(*lpay_cols).alias("__lpay"),
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"`{c}`:{right.schema[c].dataType.simpleString()}"
+                for c in rpay_cols) + ">").alias("__rpay"),
+        F.lit(1).alias("__side"),
+    )
+    rt = right.select(
+        *key_cols,
+        F.col(right_ts).alias("__ts"),
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"`{c}`:{left.schema[c].dataType.simpleString()}"
+                for c in lpay_cols) + ">").alias("__lpay"),
+        F.struct(*rpay_cols).alias("__rpay"),
+        F.lit(0).alias("__side"),
+    )
+    # right rows sort BEFORE left rows at equal ts -> inclusive <=;
+    # among equal-ts right rows the greatest payload struct comes last
+    # (the one last() picks)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__ts"), F.col("__side"), F.col("__rpay"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lt.unionByName(rt).withColumn(
+        "__match", F.last("__rpay", ignorenulls=True).over(w))
+    return (
+        carried.filter(F.col("__side") == 1)
+        .select(
+            *key_cols,
+            *[F.col(f"__lpay.{c}").alias(c) for c in lpay_cols],
+            *[F.col(f"__match.{c}").alias(c) for c in rpay_cols],
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    order_tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts at the first event
+    and after every silence longer than ``gap_seconds``. Adds
+    ``session_idx`` (1-based per key) and ``session_id``
+    ("<key...>#<idx>"). One shuffle on the key; lag + running sum —
+    no self-join, no collect.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_tiebreak or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = (
+        events
+        .withColumn("__prev_ts", F.lag(ts_col).over(w))
+        .withColumn(
+            "__new",
+            F.when(F.col("__prev_ts").isNull(), 1)
+            .when(F.col(ts_col).cast("timestamp").cast("long")
+                  - F.col("__prev_ts").cast("timestamp").cast("long")
+                  > gap_seconds, 1)
+            .otherwise(0))
+        .withColumn("session_idx",
+                    F.sum("__new").over(run).cast("long"))
+        .withColumn(
+            "session_id",
+            F.concat_ws("#", *[F.col(c).cast("string") for c in key_cols],
+                        F.col("session_idx").cast("string")))
+        .drop("__prev_ts", "__new")
+    )
+    return out

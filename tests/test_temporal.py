@@ -1,0 +1,76 @@
+"""Temporal operators: as-of join edge semantics, sessionization."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from softcite_kb_spark.operators import temporal as tp
+
+
+def _ts(s):
+    return pd.Timestamp(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(pd.DataFrame({
+        "k": ["a", "a", "a", "b"],
+        "event_id": [1, 2, 3, 4],
+        "ts": pd.to_datetime([
+            "2026-01-01 10:00", "2026-01-01 11:00",
+            "2026-01-01 09:00",   # before any right row
+            "2026-01-01 10:30",   # key with no right rows at all
+        ]).astype("datetime64[us]"),
+    }))
+    right = spark.createDataFrame(pd.DataFrame({
+        "k": ["a", "a"],
+        "r_id": [10, 11],
+        "r_ts": pd.to_datetime(
+            ["2026-01-01 10:00", "2026-01-01 10:45"]).astype("datetime64[us]"),
+    }))
+    got = {r.event_id: (r.r_id, r.r_ts)
+           for r in tp.asof_join(left, right, ["k"], "ts", "r_ts").collect()}
+    assert got[1][0] == 10            # inclusive: equal ts matches
+    assert got[2][0] == 11            # latest prior wins
+    assert got[3] == (None, None)     # nothing at-or-before
+    assert got[4] == (None, None)     # key absent from right
+
+
+def test_asof_join_tie_deterministic(spark):
+    """Two right rows with the SAME ts: the greatest payload struct wins,
+    deterministically across partitionings."""
+    left = spark.createDataFrame(pd.DataFrame({
+        "k": ["a"], "event_id": [1],
+        "ts": pd.to_datetime(["2026-01-01 10:00"]).astype("datetime64[us]")}))
+    right = spark.createDataFrame(pd.DataFrame({
+        "k": ["a", "a"], "r_id": [7, 9],
+        "r_ts": pd.to_datetime(
+            ["2026-01-01 09:00", "2026-01-01 09:00"]).astype("datetime64[us]")}))
+    for rep in (right, right.repartition(5)):
+        got = tp.asof_join(left, rep, ["k"], "ts", "r_ts").collect()
+        assert got[0].r_id == 9
+
+
+def test_asof_join_rejects_collisions(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "k": ["a"], "ts": pd.to_datetime(["2026-01-01"]).astype("datetime64[us]"),
+        "v": [1]}))
+    with pytest.raises(ValueError, match="collide"):
+        tp.asof_join(df, df, ["k"], "ts", "ts")
+
+
+def test_sessionize(spark):
+    e = spark.createDataFrame(pd.DataFrame({
+        "user": ["u1"] * 4 + ["u2"],
+        "event_id": [1, 2, 3, 4, 5],
+        "ts": pd.to_datetime([
+            "2026-01-01 10:00", "2026-01-01 10:10",   # session 1
+            "2026-01-01 11:30", "2026-01-01 11:40",   # session 2 (>30min gap)
+            "2026-01-01 10:00",
+        ]).astype("datetime64[us]"),
+    }))
+    s = tp.sessionize(e, ["user"], "ts", gap_seconds=1800,
+                      order_tiebreak=["event_id"])
+    got = {r.event_id: (r.session_idx, r.session_id) for r in s.collect()}
+    assert got[1] == (1, "u1#1") and got[2] == (1, "u1#1")
+    assert got[3] == (2, "u1#2") and got[4] == (2, "u1#2")
+    assert got[5] == (1, "u2#1")
