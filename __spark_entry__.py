@@ -653,6 +653,26 @@ def q42_wikidata_export(spark, sf_dir):
     return to_wikidata(nodes, stmts)
 
 
+def q44_range_join(spark, sf_dir):
+    """Bucketed point-in-interval join (operators/temporal.range_join):
+    clicks landing inside the 6-hour window after each signup of the same
+    user — equi-join on (user, time-bucket) + residual BETWEEN, never a
+    nested-loop range join."""
+    from softcite_kb_spark.operators.temporal import range_join
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts")
+    windows = e.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("w_end"))
+    out = range_join(clicks, windows, "ts", "w_start", "w_end",
+                     key_cols=["user_id"], bucket_seconds=6 * 3600)
+    return out.select("user_id", "click_id", "ts", "window_id",
+                      "w_start", "w_end")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: stage-1 extraction + fold + A1 ranking on sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -712,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_search_facets": q41_search_facets,
         "q42_wikidata_export": q42_wikidata_export,
         "q43_asof_join": q43_asof_join,
+        "q44_range_join": q44_range_join,
     }
 
 
@@ -969,6 +990,21 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(r.r_value, -1.0) AS r_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.r_ts
+        """,
+        # q44: plain BETWEEN join is the oracle for the bucketed range join
+        "q44_range_join": """
+            WITH c AS (
+              SELECT user_id, event_id AS click_id, ts
+              FROM events WHERE event_type = 'click'
+            ), w AS (
+              SELECT user_id, event_id AS window_id, ts AS w_start,
+                     ts + INTERVAL 6 HOUR AS w_end
+              FROM events WHERE event_type = 'signup'
+            )
+            SELECT c.user_id, c.click_id, c.ts,
+                   w.window_id, w.w_start, w.w_end
+            FROM c JOIN w ON c.user_id = w.user_id
+             AND c.ts >= w.w_start AND c.ts <= w.w_end
         """,
         # q41: facets — per-column top-k buckets; array column unnested
         "q41_search_facets": """

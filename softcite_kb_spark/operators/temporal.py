@@ -85,6 +85,57 @@ def asof_join(
     )
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "w_start",
+    end_col: str = "w_end",
+    key_cols: list[str] | None = None,
+    bucket_seconds: int = 86_400,
+) -> DataFrame:
+    """Point-in-interval join (``start <= ts <= end``) as an EQUI-join.
+
+    Spark plans a raw BETWEEN join as a (broadcast) nested loop — a
+    per-key cross product that explodes on hot keys. Here each point maps
+    to ONE time bucket and each interval explodes over the buckets it
+    covers; the join is hash-equi on (keys..., bucket) with the exact
+    BETWEEN as a residual filter. Each qualifying (point, interval) pair
+    appears exactly once (a point's single bucket is covered once per
+    interval), so no dedup pass is needed.
+
+    ``bucket_seconds`` trades shuffle fan-out for residual selectivity:
+    pick ~ the typical interval length (an interval then explodes into
+    ~2 rows). Column names must be disjoint across the two sides apart
+    from ``key_cols``.
+    """
+    key_cols = list(key_cols or [])
+    pcols = [c for c in points.columns if c not in key_cols]
+    icols = [c for c in intervals.columns if c not in key_cols]
+    collide = set(pcols) & set(icols)
+    if collide:
+        raise ValueError(
+            f"point/interval columns collide: {sorted(collide)}; "
+            "rename before joining")
+
+    b = F.lit(bucket_seconds)
+    p = points.withColumn(
+        "__bucket",
+        F.floor(F.col(point_ts).cast("timestamp").cast("long") / b))
+    i = intervals.withColumn(
+        "__bucket",
+        F.explode(F.sequence(
+            F.floor(F.col(start_col).cast("timestamp").cast("long") / b),
+            F.floor(F.col(end_col).cast("timestamp").cast("long") / b))))
+    joined = p.join(i, key_cols + ["__bucket"])
+    return (
+        joined.filter(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) <= F.col(end_col)))
+        .drop("__bucket")
+    )
+
+
 def sessionize(
     events: DataFrame,
     key_cols: list[str],

@@ -74,3 +74,35 @@ def test_sessionize(spark):
     assert got[1] == (1, "u1#1") and got[2] == (1, "u1#1")
     assert got[3] == (2, "u1#2") and got[4] == (2, "u1#2")
     assert got[5] == (1, "u2#1")
+
+
+def test_range_join_bucketing(spark):
+    """Bucketed range join: exact BETWEEN semantics regardless of where
+    intervals fall relative to bucket boundaries; equi-join plan (no
+    nested loop)."""
+    pts = spark.createDataFrame(pd.DataFrame({
+        "k": ["a"] * 4,
+        "pid": [1, 2, 3, 4],
+        "ts": pd.to_datetime([
+            "2026-01-01 00:30",   # inside w1
+            "2026-01-01 05:59",   # inside w1 (end-inclusive)
+            "2026-01-01 06:01",   # just past w1
+            "2026-01-02 12:00",   # inside w2 which spans a bucket boundary
+        ]).astype("datetime64[us]"),
+    }))
+    iv = spark.createDataFrame(pd.DataFrame({
+        "k": ["a", "a"],
+        "wid": [10, 20],
+        "w_start": pd.to_datetime(
+            ["2026-01-01 00:00", "2026-01-02 03:00"]).astype("datetime64[us]"),
+        "w_end": pd.to_datetime(
+            ["2026-01-01 05:59", "2026-01-02 21:00"]).astype("datetime64[us]"),
+    }))
+    got = {(r.pid, r.wid) for r in tp.range_join(
+        pts, iv, "ts", "w_start", "w_end", key_cols=["k"],
+        bucket_seconds=6 * 3600).collect()}
+    assert got == {(1, 10), (2, 10), (4, 20)}
+    plan = tp.range_join(pts, iv, "ts", "w_start", "w_end",
+                         key_cols=["k"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
