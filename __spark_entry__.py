@@ -673,6 +673,18 @@ def q44_range_join(spark, sf_dir):
                       "w_start", "w_end")
 
 
+def q45_hypertable_rollup(spark, sf_dir):
+    """Cascaded hour->day->month rollup (operators/temporal.
+    hypertable_rollup): coarser grains re-aggregate the finer level; the
+    oracle computes each grain directly from raw — proving the cascade is
+    exact (sums rounded to 2 decimals for cross-engine float parity)."""
+    from softcite_kb_spark.operators.temporal import hypertable_rollup
+    e = _t(spark, sf_dir, "events")
+    out = hypertable_rollup(e, "ts", "value", key_cols=["event_type"])
+    return out.select("grain", "bucket", "event_type", "n",
+                      F.round("sum_value", 2).alias("sum_value"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: stage-1 extraction + fold + A1 ranking on sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -733,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_wikidata_export": q42_wikidata_export,
         "q43_asof_join": q43_asof_join,
         "q44_range_join": q44_range_join,
+        "q45_hypertable_rollup": q45_hypertable_rollup,
     }
 
 
@@ -1005,6 +1018,22 @@ def oracle_sql() -> dict[str, str]:
                    w.window_id, w.w_start, w.w_end
             FROM c JOIN w ON c.user_id = w.user_id
              AND c.ts >= w.w_start AND c.ts <= w.w_end
+        """,
+        # q45: each grain computed DIRECTLY from raw — the oracle that the
+        # Spark side's cascaded re-aggregation is exact
+        "q45_hypertable_rollup": """
+            SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket,
+                   event_type, count(*)::BIGINT AS n,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'day', date_trunc('day', ts), event_type,
+                   count(*)::BIGINT, round(sum(value), 2)
+            FROM events GROUP BY 2, 3
+            UNION ALL
+            SELECT 'month', date_trunc('month', ts), event_type,
+                   count(*)::BIGINT, round(sum(value), 2)
+            FROM events GROUP BY 2, 3
         """,
         # q41: facets — per-column top-k buckets; array column unnested
         "q41_search_facets": """

@@ -136,6 +136,44 @@ def range_join(
     )
 
 
+def hypertable_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: list[str] | None = None,
+    granularities: tuple[str, ...] = ("hour", "day", "month"),
+) -> DataFrame:
+    """Cascaded time-bucketed rollups (TimescaleDB continuous-aggregate
+    analog): the finest grain aggregates the raw events ONCE; every
+    coarser grain re-aggregates the previous level (counts of counts,
+    sums of sums) instead of rescanning the raw table — at 100 TB the raw
+    scan happens exactly once regardless of how many grains you keep.
+
+    Only re-aggregable measures (count, sum) cascade; derive avg at read
+    time as sum/n. Returns the union of all levels:
+    (grain, bucket, keys..., n, sum_value). ``granularities`` must go
+    finest -> coarsest (each must nest into the next).
+    """
+    key_cols = list(key_cols or [])
+    finest = granularities[0]
+    level = (
+        events.groupBy(
+            *key_cols, F.date_trunc(finest, ts_col).alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum(value_col).alias("sum_value"))
+    )
+    out = level.withColumn("grain", F.lit(finest))
+    for g in granularities[1:]:
+        level = (
+            level.groupBy(
+                *key_cols, F.date_trunc(g, "bucket").alias("bucket"))
+            .agg(F.sum("n").cast("long").alias("n"),
+                 F.sum("sum_value").alias("sum_value"))
+        )
+        out = out.unionByName(level.withColumn("grain", F.lit(g)))
+    return out.select("grain", "bucket", *key_cols, "n", "sum_value")
+
+
 def sessionize(
     events: DataFrame,
     key_cols: list[str],

@@ -106,3 +106,34 @@ def test_range_join_bucketing(spark):
                          key_cols=["k"])._jdf.queryExecution() \
         .executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_hypertable_rollup_cascade_exact(spark):
+    """Coarser grains re-aggregate the finer level; totals must equal a
+    direct aggregation of the raw events and the raw scan happens once."""
+    e = spark.createDataFrame(pd.DataFrame({
+        "event_type": ["a"] * 5 + ["b"] * 3,
+        "ts": pd.to_datetime([
+            "2026-01-01 10:05", "2026-01-01 10:55", "2026-01-01 11:05",
+            "2026-01-02 00:00", "2026-02-01 09:00",
+            "2026-01-01 10:05", "2026-01-31 23:59", "2026-02-01 00:00",
+        ]).astype("datetime64[us]"),
+        "value": [1.0, 2.0, 4.0, 8.0, 16.0, 1.5, 2.5, 4.5],
+    }))
+    out = tp.hypertable_rollup(e, "ts", "value", key_cols=["event_type"])
+    rows = {(r.grain, str(r.bucket), r.event_type): (r.n, r.sum_value)
+            for r in out.collect()}
+    assert rows[("hour", "2026-01-01 10:00:00", "a")] == (1 + 1, 3.0)
+    assert rows[("day", "2026-01-01 00:00:00", "a")] == (3, 7.0)
+    assert rows[("month", "2026-01-01 00:00:00", "a")] == (4, 15.0)
+    assert rows[("month", "2026-02-01 00:00:00", "b")] == (1, 4.5)
+    # month totals == direct aggregation of raw
+    direct = {(r.event_type,): (r.n, r.s) for r in
+              e.groupBy("event_type").agg(
+                  F.count("*").alias("n"), F.sum("value").alias("s")).collect()}
+    month_tot = {}
+    for (g, _b, t), (n, s) in rows.items():
+        if g == "month":
+            a, b = month_tot.get((t,), (0, 0.0))
+            month_tot[(t,)] = (a + n, b + s)
+    assert month_tot == direct
