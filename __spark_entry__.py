@@ -685,6 +685,15 @@ def q45_hypertable_rollup(spark, sf_dir):
                       F.round("sum_value", 2).alias("sum_value"))
 
 
+def q46_emb_near_dup_lsh(spark, sf_dir):
+    """Embedding near-dup pairs via hyperplane-bucket self-join
+    (similarity.embedding_near_dup_pairs) — the LSH scale path of q39's
+    brute-force kernel; the oracle rebuilds buckets from the same
+    md5-derived planes."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dup_pairs(e, dim=64, threshold=0.2, n_planes=4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: stage-1 extraction + fold + A1 ranking on sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -746,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_asof_join": q43_asof_join,
         "q44_range_join": q44_range_join,
         "q45_hypertable_rollup": q45_hypertable_rollup,
+        "q46_emb_near_dup_lsh": q46_emb_near_dup_lsh,
     }
 
 
@@ -887,22 +897,28 @@ def _simhash_oracle_sql() -> str:
     """
 
 
-def _hyperplane_oracle_sql() -> str:
-    """Hyperplane-LSH top-k in SQL: the 4x64 md5-derived plane coefficients
-    (similarity.hyperplane_signs, seed 13) embedded as repr'd double
+def _hyperplane_bucket_sql(n_planes: int = 4, dim: int = 64,
+                           seed: int = 13) -> str:
+    """The hyperplane bucket id as a SQL expression: md5-derived plane
+    coefficients (similarity.hyperplane_signs) embedded as repr'd double
     literals (repr round-trips, so both engines compare the identical
     double in the sign test)."""
     import hashlib
 
     def coef(p: int, c: int) -> float:
-        h = hashlib.md5(f"13:{p}:{c}".encode()).hexdigest()[:8]
+        h = hashlib.md5(f"{seed}:{p}:{c}".encode()).hexdigest()[:8]
         return (int(h, 16) / 0xFFFFFFFF) * 2.0 - 1.0
 
-    bucket = " + ".join(
+    return " + ".join(
         "CASE WHEN list_dot_product(embedding::DOUBLE[], [{coefs}]) > 0 "
         "THEN {w} ELSE 0 END".format(
-            coefs=", ".join(repr(coef(p, c)) for c in range(64)), w=1 << p)
-        for p in range(4))
+            coefs=", ".join(repr(coef(p, c)) for c in range(dim)), w=1 << p)
+        for p in range(n_planes))
+
+
+def _hyperplane_oracle_sql() -> str:
+    """Hyperplane-LSH top-k in SQL (see _hyperplane_bucket_sql)."""
+    bucket = _hyperplane_bucket_sql()
     return f"""
         WITH b AS (
           SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
@@ -929,9 +945,33 @@ def _hyperplane_oracle_sql() -> str:
     """
 
 
+def _near_dup_lsh_oracle_sql() -> str:
+    """q46: bucket self-join near-dup pairs from the same plane constants."""
+    bucket = _hyperplane_bucket_sql()
+    return f"""
+        WITH b AS (
+          SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+        )
+        SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+               round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
+                 / greatest(
+                     sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[])),
+                     1e-12), 6) AS cos
+        FROM b l JOIN b r
+          ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        WHERE round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
+                / greatest(
+                    sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[])),
+                    1e-12), 6) >= 0.2
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q25_lsh_candidate_pairs": _lsh_oracle_sql(),
+        "q46_emb_near_dup_lsh": _near_dup_lsh_oracle_sql(),
         "q26_simhash_near_pairs": _simhash_oracle_sql(),
         "q28_lsh_topk": _hyperplane_oracle_sql(),
         # q38: ground truth reconstructed relationally (the boundary

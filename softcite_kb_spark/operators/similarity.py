@@ -30,7 +30,14 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity rounded to 6 decimals (oracle-comparable)."""
+    """Cosine similarity rounded to 6 decimals (oracle-comparable).
+
+    Inputs widen to double BEFORE any multiply: float32 products differ
+    from the SQL oracle's double products by an ulp, which flips the 6th
+    rounded decimal on borderline pairs.
+    """
+    a = a.cast("array<double>")
+    b = b.cast("array<double>")
     return F.round(
         _dot(a, b) / F.greatest(_norm(a) * _norm(b), F.lit(1e-12)), 6)
 
