@@ -27,6 +27,7 @@ regex kernel for an HTML parser inside the same mapInPandas plumbing.
 
 from __future__ import annotations
 
+import html as _html
 import re
 
 import pandas as pd
@@ -167,8 +168,6 @@ def _scope(s: str, tag: str) -> str:
 def _elem_text(s: str, pattern: str) -> str | None:
     """First match's inner text, unescaped+collapsed (None if absent or
     empty — mirrors _get_first_value_xpath's .text semantics)."""
-    import html as _html
-
     m = re.search(pattern, s, re.S)
     if not m:
         return None
@@ -202,8 +201,6 @@ def _parse_tei_one(tei: str) -> tuple:
         if not pm:
             continue
         pers = pm.group(0)
-        import html as _html
-
         # unescape like _elem_text does — lxml .text semantics apply to
         # forenames just as to every other field
         fornames = [
@@ -231,7 +228,9 @@ def _parse_tei_one(tei: str) -> tuple:
         if frm is not None and to is not None:
             page = f"{frm}-{to}"
         elif page_el.group(1):
-            page = _WS_RE.sub(" ", page_el.group(1)).strip() or None
+            # same .text semantics as every other field: unescape entities
+            page = _WS_RE.sub(
+                " ", _html.unescape(page_el.group(1))).strip() or None
     issn = _elem_text(monogr, r'<idno[^>]*type="ISSN"[^>]*>(.*?)</idno>')
     isbn = _elem_text(monogr, r'<idno[^>]*type="ISBN"[^>]*>(.*?)</idno>')
     # date = @when of imprint/date[@type="published"] (reference _get_date_xpath)

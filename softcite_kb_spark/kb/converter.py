@@ -165,12 +165,18 @@ def to_simple(statements: DataFrame, naming: DataFrame,
     has_quals = "qualifiers" in statements.columns
     # regroup key from the RAW identifiers (pre-rename): two distinct raw
     # values whose names collide after the naming join must NOT exchange
-    # qualifier lists. source disambiguates same-(prop,value) rows from
-    # different provenance; exact duplicate raw rows share a key (their
-    # qualifier sets merge — the only coherent reading of duplicates).
-    raw_sid = F.sha2(F.concat_ws(
-        "\x1f", F.col(entity_col), "prop", "value",
-        *(["source"] if "source" in statements.columns else [])), 256)
+    # qualifier lists. Encoded via to_json, not concat_ws — concat_ws
+    # SKIPS NULL components and does not escape the separator, so
+    # (NULL,'x') would collide with ('x',NULL) and 'V\\x1fS' with
+    # 'V'+'S'. source/count disambiguate same-(prop,value) rows; exact
+    # duplicate raw rows share a key (their identical qualifier rows are
+    # deduped before the regroup below).
+    raw_key_cols = [F.col(entity_col).alias("e"), F.col("prop").alias("p"),
+                    F.col("value").alias("v")]
+    for extra in ("source", "count"):
+        if extra in statements.columns:
+            raw_key_cols.append(F.col(extra).alias(extra))
+    raw_sid = F.sha2(F.to_json(F.struct(*raw_key_cols)), 256)
     if has_quals:
         statements = statements.withColumn("__sid", raw_sid)
     prop_names = F.broadcast(naming.select(
@@ -191,7 +197,11 @@ def to_simple(statements: DataFrame, naming: DataFrame,
     )
     if not has_quals:
         return base
-    q = base.select(
+    # exact duplicate raw rows share a __sid — dedupe BEFORE exploding so
+    # the regrouped list isn't doubled. (An array_distinct on the final
+    # list would instead silently drop legitimately repeated qualifiers
+    # WITHIN one statement.)
+    q = base.select("__sid", "qualifiers").dropDuplicates(["__sid"]).select(
         "__sid", F.posexplode("qualifiers").alias("pos", "q"))
     qp = F.broadcast(naming.select(
         F.col("id").alias("qprop"), F.col("name").alias("qprop_name")))
@@ -205,7 +215,7 @@ def to_simple(statements: DataFrame, naming: DataFrame,
         .join(qp, "qprop", "left")
         .join(qv, "qval", "left")
         .groupBy("__sid")
-        .agg(F.array_distinct(F.transform(
+        .agg(F.transform(
             F.sort_array(F.collect_list(F.struct(
                 F.col("pos"),
                 F.struct(
@@ -213,7 +223,7 @@ def to_simple(statements: DataFrame, naming: DataFrame,
                     F.coalesce("qval_name", "qval").alias("value"),
                     F.col("qdt").alias("datatype"),
                 ).alias("q")))),
-            lambda s: s["q"])).alias("qualifiers_named"))
+            lambda s: s["q"]).alias("qualifiers_named"))
     )
     return (
         base.drop("qualifiers")

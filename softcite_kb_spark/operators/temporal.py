@@ -18,6 +18,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """Whether Spark can use the type in an ORDER BY (maps cannot)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def asof_join(
@@ -66,11 +78,20 @@ def asof_join(
         F.lit(0).alias("__side"),
     )
     # right rows sort BEFORE left rows at equal ts -> inclusive <=;
-    # among equal-ts right rows the greatest payload struct comes last
-    # (the one last() picks)
+    # among equal-ts right rows the greatest ORDERABLE payload projection
+    # comes last (the one last() picks). Maps (and structs/arrays holding
+    # them) are not orderable in Spark — excluding them keeps payloads
+    # like a raw `props` map joinable while the tiebreak stays
+    # deterministic on the remaining columns.
+    tie_cols = [c for c in rpay_cols
+                if _orderable(right.schema[c].dataType)]
+    order = [F.col("__ts"), F.col("__side")]
+    if tie_cols:
+        order.append(F.struct(
+            *[F.col("__rpay").getField(c).alias(c) for c in tie_cols]))
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col("__ts"), F.col("__side"), F.col("__rpay"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = lt.unionByName(rt).withColumn(
@@ -119,6 +140,10 @@ def range_join(
             "rename before joining")
 
     b = F.lit(bucket_seconds)
+    # an inverted interval (end < start) can never contain a point, but
+    # sequence(start_bucket, end_bucket) would DESCEND across the whole
+    # range (huge explode, or an over-max-array failure) — drop them
+    intervals = intervals.filter(F.col(end_col) >= F.col(start_col))
     p = points.withColumn(
         "__bucket",
         F.floor(F.col(point_ts).cast("timestamp").cast("long") / b))
@@ -154,6 +179,9 @@ def hypertable_rollup(
     (grain, bucket, keys..., n, sum_value). ``granularities`` must go
     finest -> coarsest (each must nest into the next).
     """
+    if not granularities:
+        raise ValueError(
+            "hypertable_rollup needs at least one granularity")
     key_cols = list(key_cols or [])
     finest = granularities[0]
     level = (
@@ -195,10 +223,13 @@ def sessionize(
         .withColumn("__prev_ts", F.lag(ts_col).over(w))
         .withColumn(
             "__new",
+            # unix_micros, not cast-to-long: second truncation would miss
+            # sub-second silences just past the gap (1800.4s floor-diffs
+            # to 1800) and diverge from a fractional-epoch SQL oracle
             F.when(F.col("__prev_ts").isNull(), 1)
-            .when(F.col(ts_col).cast("timestamp").cast("long")
-                  - F.col("__prev_ts").cast("timestamp").cast("long")
-                  > gap_seconds, 1)
+            .when(F.unix_micros(F.col(ts_col).cast("timestamp"))
+                  - F.unix_micros(F.col("__prev_ts").cast("timestamp"))
+                  > gap_seconds * 1_000_000, 1)
             .otherwise(0))
         .withColumn("session_idx",
                     F.sum("__new").over(run).cast("long"))

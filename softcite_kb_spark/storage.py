@@ -156,13 +156,21 @@ class TableStore:
             len(part_by) == 1
             and part_by[0] in key_cols
             and part_by[0] in df.columns
+            # pruned commits hardlink OLD files: the incoming types must
+            # match the table schema for every shared column, or the new
+            # pinned reader schema would misread the carried-over files
+            and self._types_match(snap, df)
         )
+        affected: list = []
         if prunable:
+            pcol = part_by[0]
+            affected = [r[0] for r in df.select(pcol).distinct().collect()]
             # a NULL partition value defeats both the isin() prune (NULL
             # comparison -> NULL -> old NULL-partition rows silently
             # dropped) and the __HIVE_DEFAULT_PARTITION__ directory carry-
-            # over — take the safe full rewrite instead
-            if df.filter(F.col(part_by[0]).isNull()).limit(1).count() > 0:
+            # over — take the safe full rewrite instead (derived from the
+            # same collect, no extra evaluation of df)
+            if any(a is None for a in affected):
                 prunable = False
         if not prunable:
             current = self.read(df.sparkSession, table)
@@ -173,7 +181,6 @@ class TableStore:
                               partition_by=part_by or None)
 
         pcol = part_by[0]
-        affected = [r[0] for r in df.select(pcol).distinct().collect()]
         # partition filter reaches the parquet scan: only affected
         # partitions are read (pushdown prunes the rest)
         current_affected = self.read(df.sparkSession, table).filter(
@@ -231,6 +238,13 @@ class TableStore:
             return self.write(df, table, properties)
         meta = self._load_meta(table)
         snap = self.current_snapshot(table)
+        if not self._types_match(snap, df, require_same_columns=True):
+            # appended files cannot be rewritten later: a drifting batch
+            # schema would re-pin how every EXISTING file is read
+            raise ValueError(
+                f"append schema drift on table {table!r}: batch schema "
+                f"{df.schema.simpleString()} != table schema "
+                f"{snap.schema_ddl}")
         part_by = (snap.properties or {}).get("partition_by") or []
         sid = (meta["current"] or 0) + 1
         data_dir = os.path.join(self.root, table, f"snap-{sid:05d}")
@@ -254,7 +268,8 @@ class TableStore:
         shutil.rmtree(tmp, ignore_errors=True)
         props = dict(properties or {})
         props["operation"] = "append"
-        props["schema_json"] = df.schema.json()
+        props["schema_json"] = (
+            (snap.properties or {}).get("schema_json") or df.schema.json())
         if part_by:
             props["partition_by"] = list(part_by)
         new_snap = Snapshot(
@@ -273,6 +288,24 @@ class TableStore:
             if os.path.isdir(s["path"]):
                 shutil.rmtree(s["path"], ignore_errors=True)
         return new_snap
+
+    @staticmethod
+    def _types_match(snap: Snapshot, df: DataFrame,
+                     require_same_columns: bool = False) -> bool:
+        """True when df's column types equal the snapshot's stored schema
+        for every shared column (and, optionally, the column SETS match).
+        Falls back to True when the snapshot predates schema_json."""
+        schema_json = (snap.properties or {}).get("schema_json")
+        if not schema_json:
+            return True
+        from pyspark.sql.types import StructType
+
+        stored = {f.name: f.dataType.simpleString()
+                  for f in StructType.fromJson(json.loads(schema_json))}
+        mine = {f.name: f.dataType.simpleString() for f in df.schema}
+        if require_same_columns and set(stored) != set(mine):
+            return False
+        return all(stored[c] == t for c, t in mine.items() if c in stored)
 
     @staticmethod
     def _anti_by_keys(current: DataFrame, incoming: DataFrame,

@@ -236,3 +236,29 @@ def test_simple_format_qualifier_no_collision(spark):
     assert len(rows) == 2
     quals = sorted(tuple(q.value for q in r.qualifiers) for r in rows)
     assert quals == [("c1:0",), ("c9:9",)]
+
+
+def test_simple_format_null_component_no_collision(spark):
+    """NULL prop/value components must not collide the qualifier regroup
+    key (concat_ws skipped NULLs; the key is JSON-encoded now)."""
+    stmts = spark.createDataFrame(
+        [("e:Q1", None, "x", "string", "t", 1,
+          [{"prop": "P2677", "value": "a:0", "datatype": "string"}]),
+         ("e:Q1", "x", None, "string", "t", 1,
+          [{"prop": "P2677", "value": "b:9", "datatype": "string"}])],
+        "canonical_id string, prop string, value string, datatype string, "
+        "source string, count long, "
+        "qualifiers array<struct<prop:string,value:string,datatype:string>>")
+    naming = spark.createDataFrame(pd.DataFrame({"id": ["x"], "name": ["X"]}))
+    rows = cv.to_simple(stmts, naming).collect()
+    assert len(rows) == 2
+    quals = sorted(tuple(q.value for q in r.qualifiers) for r in rows)
+    assert quals == [("a:0",), ("b:9",)]
+    # repeated qualifiers WITHIN one statement survive (no list distinct)
+    stmts2 = spark.createDataFrame(
+        [("e:Q1", "x", "y", "string", "t", 1,
+          [{"prop": "P2677", "value": "a:0", "datatype": "string"},
+           {"prop": "P2677", "value": "a:0", "datatype": "string"}])],
+        stmts.schema)
+    r2 = cv.to_simple(stmts2, naming).collect()[0]
+    assert [q.value for q in r2.qualifiers] == ["a:0", "a:0"]

@@ -133,3 +133,36 @@ def test_merge_and_append_null_and_typed_partitions(spark, tmp_path):
     assert got[("2", 9)] == "appended" and len(got) == 5
     # and a later merge still sees the table as partitioned
     assert snap2.properties["partition_by"] == ["bucket"]
+
+
+def test_append_rejects_schema_drift(spark, tmp_path):
+    """A batch whose column types drift must not re-pin how existing
+    files are read (the old files would become unreadable)."""
+    st = TableStore(str(tmp_path / "kb"))
+    base = spark.createDataFrame(pd.DataFrame(
+        {"k": [1], "v": [1.5]}))
+    st.write(base, "t")
+    drift = spark.createDataFrame(pd.DataFrame(
+        {"k": [2], "v": [2]}))  # v inferred bigint, table has double
+    import pytest
+    with pytest.raises(ValueError, match="schema drift"):
+        st.append(drift, "t")
+    ok = spark.createDataFrame(pd.DataFrame({"k": [2], "v": [2.0]}))
+    st.append(ok, "t")
+    assert st.read(spark, "t").count() == 2
+
+
+def test_merge_type_mismatch_falls_back_to_full_rewrite(spark, tmp_path):
+    """Incoming types that differ from the table schema force the full
+    rewrite (hardlinked old files must never be read under a new pinned
+    schema with different physical types)."""
+    st = TableStore(str(tmp_path / "kb"))
+    base = spark.createDataFrame(pd.DataFrame({
+        "bucket": ["a", "b"], "k": [1, 2], "v": [1.5, 2.5]}))
+    st.write(base, "t", partition_by=["bucket"])
+    upd = spark.createDataFrame(pd.DataFrame({
+        "bucket": ["a"], "k": [1], "v": [9]}))  # v bigint vs double
+    snap = st.merge(upd, "t", key_cols=["bucket", "k"])
+    assert snap.properties["merge_mode"] == "full-rewrite"
+    rows = {(r.bucket, r.k): r.v for r in st.read(spark, "t").collect()}
+    assert rows[("a", 1)] == 9.0 and rows[("b", 2)] == 2.5

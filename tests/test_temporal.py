@@ -137,3 +137,62 @@ def test_hypertable_rollup_cascade_exact(spark):
             a, b = month_tot.get((t,), (0, 0.0))
             month_tot[(t,)] = (a + n, b + s)
     assert month_tot == direct
+
+
+def test_sessionize_subsecond_gap(spark):
+    """Microsecond-exact gaps: a 1800.4s silence starts a new session
+    (second-truncated arithmetic would floor it to exactly 1800)."""
+    e = spark.createDataFrame(pd.DataFrame({
+        "user": ["u1", "u1", "u1"],
+        "event_id": [1, 2, 3],
+        "ts": pd.to_datetime([
+            "2026-01-01 10:00:00.100000",
+            "2026-01-01 10:30:00.500000",   # 1800.4s later -> new session
+            "2026-01-01 10:59:00.500000",   # 1740s later -> same session
+        ]).astype("datetime64[us]"),
+    }))
+    s = tp.sessionize(e, ["user"], "ts", gap_seconds=1800)
+    got = {r.event_id: r.session_idx for r in s.collect()}
+    assert got == {1: 1, 2: 2, 3: 2}
+
+
+def test_range_join_inverted_interval_ignored(spark):
+    """An inverted interval (end < start) matches nothing and must not
+    explode into a giant descending bucket sequence."""
+    pts = spark.createDataFrame(pd.DataFrame({
+        "k": ["a"], "pid": [1],
+        "ts": pd.to_datetime(["2026-01-01 01:00"]).astype("datetime64[us]")}))
+    iv = spark.createDataFrame(pd.DataFrame({
+        "k": ["a", "a"], "wid": [1, 2],
+        "w_start": pd.to_datetime(
+            ["2026-01-01 00:00", "2026-01-01 00:00"]).astype("datetime64[us]"),
+        "w_end": pd.to_datetime(
+            ["1970-01-01 00:00", "2026-01-01 02:00"]).astype("datetime64[us]"),
+    }))
+    got = {(r.pid, r.wid) for r in tp.range_join(
+        pts, iv, "ts", "w_start", "w_end", key_cols=["k"],
+        bucket_seconds=3600).collect()}
+    assert got == {(1, 2)}
+
+
+def test_asof_join_map_payload(spark):
+    """A right payload containing a MAP column (not orderable) must still
+    join; the tiebreak uses the orderable columns only."""
+    left = spark.createDataFrame(pd.DataFrame({
+        "k": ["a"], "event_id": [1],
+        "ts": pd.to_datetime(["2026-01-01 10:00"]).astype("datetime64[us]")}))
+    import datetime as dt
+    right = spark.createDataFrame(
+        [("a", 7, dt.datetime(2026, 1, 1, 9, 0), {"x": "1"})],
+        "k string, r_id long, r_ts timestamp, r_props map<string,string>")
+    got = tp.asof_join(left, right, ["k"], "ts", "r_ts").collect()[0]
+    assert got.r_id == 7 and got.r_props == {"x": "1"}
+
+
+def test_hypertable_rollup_empty_granularities(spark):
+    e = spark.createDataFrame(pd.DataFrame({
+        "event_type": ["a"],
+        "ts": pd.to_datetime(["2026-01-01"]).astype("datetime64[us]"),
+        "value": [1.0]}))
+    with pytest.raises(ValueError, match="granularity"):
+        tp.hypertable_rollup(e, granularities=())
