@@ -694,6 +694,25 @@ def q46_emb_near_dup_lsh(spark, sf_dir):
     return sim.embedding_near_dup_pairs(e, dim=64, threshold=0.2, n_planes=4)
 
 
+def q47_scrub_clean(spark, sf_dir):
+    """PII scrub + text normalization (textops.scrub_pii/clean_text) over
+    documents with planted emails/URLs/IPs/control chars — both engines
+    apply the IDENTICAL regex battery (shared Java/RE2 subset)."""
+    d = _t(spark, sf_dir, "documents")
+    dirty = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("\x01 "), F.col("text"),
+            F.lit("  contact bob.smith+x@example.co.uk via "
+                  "https://ex.io/a?b=1#f from 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" end\t"),
+        ).alias("text"))
+    return dirty.select(
+        "doc_id",
+        tx.clean_text(tx.scrub_pii(F.col("text"))).alias("clean"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: stage-1 extraction + fold + A1 ranking on sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -756,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_range_join": q44_range_join,
         "q45_hypertable_rollup": q45_hypertable_rollup,
         "q46_emb_near_dup_lsh": q46_emb_near_dup_lsh,
+        "q47_scrub_clean": q47_scrub_clean,
     }
 
 
@@ -1074,6 +1094,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'month', date_trunc('month', ts), event_type,
                    count(*)::BIGINT, round(sum(value), 2)
             FROM events GROUP BY 2, 3
+        """,
+        # q47: identical regex battery (shared Java/RE2 subset) in SQL
+        "q47_scrub_clean": r"""
+            WITH dirty AS (
+              SELECT doc_id,
+                     chr(1) || ' ' || text
+                     || '  contact bob.smith+x@example.co.uk via '
+                     || 'https://ex.io/a?b=1#f from 10.0.0.'
+                     || (doc_id % 256) || ' end' || chr(9) AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(text,
+                             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                             '<EMAIL>', 'g'),
+                           'https?://\S+', '<URL>', 'g'),
+                         '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+                       '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+                     '\s+', ' ', 'g')) AS clean
+            FROM dirty
         """,
         # q41: facets — per-column top-k buckets; array column unnested
         "q41_search_facets": """

@@ -104,6 +104,37 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise(F.lit("es")))
 
 
+# Scrub patterns: shared Java-regex/RE2 subset (no lookarounds, no
+# backrefs) so a SQL oracle applies the IDENTICAL expressions.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://\S+"
+IP_RE = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+
+
+def scrub_pii(text: Column,
+              email_token: str = "<EMAIL>",
+              url_token: str = "<URL>",
+              ip_token: str = "<IP>") -> Column:
+    """Replace emails, URLs, and IPv4 addresses with placeholder tokens —
+    the redaction pass a training-data pipeline runs before text ships.
+    Order matters: URLs can embed IP/host parts, so URL scrub runs before
+    IP scrub; emails first (an email is never inside a URL token here
+    because URL_RE would have consumed it)."""
+    out = F.regexp_replace(text, EMAIL_RE, email_token)
+    out = F.regexp_replace(out, URL_RE, url_token)
+    out = F.regexp_replace(out, IP_RE, ip_token)
+    return out
+
+
+def clean_text(text: Column) -> Column:
+    """Normalization pass: strip control characters, collapse whitespace
+    runs to single spaces, trim. Composes with :func:`scrub_pii`."""
+    out = F.regexp_replace(text, CTRL_RE, "")
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
 def fingerprint(text: Column) -> Column:
     """Normalized content fingerprint: md5 of lower-cased alnum-only text.
 

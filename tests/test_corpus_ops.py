@@ -288,3 +288,24 @@ def test_ivf_lloyd_refinement(spark, vectors):
         vectors.repartition(7), q, n_cells=4, n_probe=1, k=3,
         lloyd_rounds=2).collect()))
     assert a == b
+
+
+def test_scrub_pii_and_clean_text(spark):
+    rows = [
+        (1, "mail bob@x.io and BOB.smith+tag@sub.example.co.uk now"),
+        (2, "see https://a.io/p?q=1#frag or http://plain.org ok"),
+        (3, "from 10.0.0.1 to 192.168.255.254, not 1.2.3.4.5 though"),
+        (4, "clean\x01control\x02chars\tand   runs"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {r.doc_id: r.clean for r in df.select(
+        "doc_id",
+        textops.clean_text(textops.scrub_pii(F.col("text"))).alias("clean"),
+    ).collect()}
+    assert out[1] == "mail <EMAIL> and <EMAIL> now"
+    assert out[2] == "see <URL> or <URL> ok"
+    # 1.2.3.4.5 is not a valid dotted quad at a boundary -> untouched tail
+    assert out[3].startswith("from <IP> to <IP>,")
+    assert out[4] == "cleancontrolchars and runs"
+    assert out[5] is None
