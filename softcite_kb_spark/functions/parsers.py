@@ -70,18 +70,36 @@ def parse_r_persons(field: pd.Series) -> pd.Series:
                 "orcid": oc.group(1) if oc else None,
             })
         if not out:
-            # maintainer-style: "Given Family <email>"
-            m = re.match(r"\s*([^<,]+?)\s*(?:<([^>]+)>)?\s*$", s)
-            if m and m.group(1):
-                toks = m.group(1).split()
+            # maintainer-style fallbacks. The anchored "Given Family
+            # <email>" pattern can consume no comma, so handle
+            # "Family, Given <email>" (common R style) explicitly, then
+            # comma-separated multi-maintainer lists, then the plain form.
+            fg = re.match(
+                r"\s*([^<,]+?)\s*,\s*([^<,]+?)\s*(?:<([^>]+)>)?\s*$", s)
+            if fg:
                 out.append({
-                    "given": " ".join(toks[:-1]) or None,
-                    "family": toks[-1] if toks else None,
+                    "given": fg.group(2) or None,
+                    "family": fg.group(1) or None,
                     "roles": [],
-                    "email": m.group(2),
+                    "email": fg.group(3),
                     "orcid": (ORCID_RE.search(s).group(1)
                               if ORCID_RE.search(s) else None),
                 })
+            else:
+                # split persons on commas OUTSIDE <...>
+                for seg in re.split(r",(?![^<]*>)", s):
+                    m = re.match(r"\s*([^<,]+?)\s*(?:<([^>]+)>)?\s*$", seg)
+                    if not (m and m.group(1)):
+                        continue
+                    toks = m.group(1).split()
+                    out.append({
+                        "given": " ".join(toks[:-1]) or None,
+                        "family": toks[-1] if toks else None,
+                        "roles": [],
+                        "email": m.group(2),
+                        "orcid": (ORCID_RE.search(seg).group(1)
+                                  if ORCID_RE.search(seg) else None),
+                    })
         return out
 
     return field.map(one)

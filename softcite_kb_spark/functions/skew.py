@@ -37,7 +37,16 @@ def salted_join(
     salt column is internal and dropped from the result. ``rand`` is seeded
     per-partition by Spark; determinism of the *result set* is unaffected
     (only row placement changes).
+
+    Only skewed-side-preserving joins are valid: under right/full outer an
+    UNMATCHED small-side row would survive once per salt replica
+    (salt_buckets duplicate null-extended rows) — rejected explicitly.
     """
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not "
+            f"{how!r}: the replicated small side duplicates unmatched rows "
+            f"under right/full outer semantics")
     salted = skewed.withColumn(
         "__salt", (F.rand(seed=7) * salt_buckets).cast("int"))
     replicated = small.withColumn(

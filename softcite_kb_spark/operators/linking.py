@@ -26,11 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from softcite_kb_spark.functions.text import (
-    capitalized_variant,
-    hyphen_variant,
-    norm_name,
-)
+from softcite_kb_spark.functions.text import norm_name
 
 METHOD_STRONG_ID = "strong_id"
 METHOD_LABEL = "label"
@@ -49,12 +45,13 @@ def authority_block_keys(authority_entities: DataFrame) -> DataFrame:
     """Explode authority labels + aliases + generated variants to a
     normalized blocking-key table: (block_key, entity_id, method).
 
-    The variant space matches the reference's lookup disjunction
-    (merge.py:180-226): label, every alias, ALL-CAPS->Title variant, and
-    hyphen<->space variant. Keys are normalized with :func:`norm_name`, so case and
-    hyphen/space differences collapse into one key — variants that
-    normalize identically dedupe via the method-priority window in
-    :func:`link_mentions`.
+    The reference's lookup disjunction (merge.py:180-226) spans label,
+    every alias, the ALL-CAPS->Title variant and the hyphen<->space
+    variant. Under :func:`norm_name` blocking, the two generated variants
+    PROVABLY collapse onto the label's own key (norm_name lower-cases and
+    maps '-' to ' '), so emitting them would only duplicate candidate rows
+    for the voting window to dedupe — the variant coverage is a property
+    of the key normalization, not extra rows (tests pin the equivalence).
     """
     ent = authority_entities.select("entity_id", "label", "aliases")
     label = ent.select(
@@ -65,15 +62,7 @@ def authority_block_keys(authority_entities: DataFrame) -> DataFrame:
         .select("entity_id", norm_name(F.col("a")).alias("block_key"),
                 F.lit(METHOD_ALIAS).alias("method"))
     )
-    cap = ent.select(
-        "entity_id",
-        norm_name(capitalized_variant(F.col("label"))).alias("block_key"),
-        F.lit(METHOD_VARIANT).alias("method"))
-    hyp = ent.select(
-        "entity_id",
-        norm_name(hyphen_variant(F.col("label"))).alias("block_key"),
-        F.lit(METHOD_VARIANT).alias("method"))
-    keys = label.unionByName(alias).unionByName(cap).unionByName(hyp)
+    keys = label.unionByName(alias)
     return keys.filter(F.col("block_key").isNotNull() & (F.col("block_key") != ""))
 
 
@@ -141,17 +130,28 @@ def score_candidates_similarity(
     authority_entities: DataFrame,
 ) -> DataFrame:
     """Blend the method-prior score with trigram similarity to the entity's
-    canonical label: score = 0.5*prior + 0.5*trigram. Exact-label matches
-    keep 1.0; fuzzy/variant candidates get separated by actual string
-    closeness before voting."""
+    canonical label: score = 0.5*prior + 0.5*trigram, with two guards:
+
+      * strong-identifier candidates keep their prior untouched — the
+        authoritative pkg-id/DOI match must never lose a vote to a
+        textually-closer wrong entity (the fast path "wins ties" contract);
+      * the comparison label is NORM-NAME-normalized like the surface —
+        comparing against the raw label scored an exact hyphenated match
+        ('stat forge' vs 'Stat-Forge') well under 1.0, letting a space-form
+        competitor steal the surface.
+    """
     labels = F.broadcast(
-        authority_entities.select("entity_id", F.col("label").alias("match_label")))
+        authority_entities.select(
+            "entity_id", norm_name(F.col("label")).alias("match_label")))
+    blended = F.round(
+        0.5 * F.col("score")
+        + 0.5 * trigram_similarity("norm_surface", "match_label"), 6)
     return (
         candidates.join(labels, "entity_id", "left")
         .withColumn(
             "score",
-            F.round(0.5 * F.col("score")
-                    + 0.5 * trigram_similarity("norm_surface", "match_label"), 6))
+            F.when(F.col("method") == METHOD_STRONG_ID, F.col("score"))
+            .otherwise(blended))
         .drop("match_label")
     )
 

@@ -42,8 +42,11 @@ def group_into_lists(
     """
     return (
         edges.groupBy(F.col(group_key).alias("grp"))
+        # count(item_key), not count(*): collect_list silently drops NULL
+        # items — the reported size must match the list (a count(*) would
+        # inflate group ranking by null members)
         .agg(F.sort_array(F.collect_list(item_key)).alias("items"),
-             F.count("*").cast("long").alias("n_items"))
+             F.count(item_key).cast("long").alias("n_items"))
         .orderBy(F.desc("n_items"), F.asc("grp"))
         .limit(n)
     )
@@ -84,15 +87,21 @@ def two_hop(edges_a: DataFrame, edges_b: DataFrame,
 
     Ref: kb_es_indexing.py:280-304 (person -> software -> mention contexts,
     nested FOR loops); here ``edges_a ⋈ edges_b`` on the shared endpoint.
+    start/end are the NON-join endpoints of each side — derived from the
+    join columns, so reverse traversals (join_left='src_id' or
+    join_right='dst_id') select the true far endpoints instead of echoing
+    the via node.
     """
+    start_col = "src_id" if join_left == "dst_id" else "dst_id"
+    end_col = "dst_id" if join_right == "src_id" else "src_id"
     a = edges_a.alias("a")
     b = edges_b.alias("b")
     return (
         a.join(b, F.col(f"a.{join_left}") == F.col(f"b.{join_right}"))
         .select(
-            F.col("a.src_id").alias("start_id"),
+            F.col(f"a.{start_col}").alias("start_id"),
             F.col(f"a.{join_left}").alias("via_id"),
-            F.col("b.dst_id").alias("end_id"),
+            F.col(f"b.{end_col}").alias("end_id"),
             F.col("a.rel").alias("rel_a"),
             F.col("b.rel").alias("rel_b"),
         )

@@ -36,24 +36,43 @@ def read_jsonl_dump(
     line = F.col("value")
     if strip_trailing_comma:
         line = F.regexp_replace(line, r",\s*$", "")
-    # skip the array brackets of Wikidata-style dumps
-    parsed = (
+    # corrupt detection via from_json's own PERMISSIVE corrupt-record
+    # column: a syntactically VALID line whose fields are simply absent
+    # ('{}', '{"id": null}') parses clean — the previous all-fields-null
+    # heuristic misclassified those as corrupt. One extra struct field,
+    # one parse per output column (the parse is CodegenFallback, so each
+    # top-level reference evaluates it once — 2 total here, down from the
+    # per-field chain's N+1).
+    aug = T.StructType(
+        list(schema.fields) + [T.StructField("__corrupt", T.StringType())])
+    base = (
         raw.select(line.alias("line"))
         .filter(~F.col("line").isin("[", "]"))
         .filter(F.length(F.trim("line")) > 0)
-        .withColumn("entity", F.from_json("line", schema))
     )
-    # PERMISSIVE from_json yields an all-null struct (not NULL) on corrupt
-    # input — flag a line as corrupt when every top-level field is null
-    all_null = F.lit(True)
-    for f in schema.fieldNames():
-        all_null = all_null & F.col("entity").getField(f).isNull()
-    parsed = parsed.withColumn(
-        "_corrupt",
-        F.when(F.col("entity").isNull() | all_null, F.col("line")))
-    return parsed.select(
-        F.when(F.col("_corrupt").isNull(), F.col("entity")).alias("entity"),
-        "_corrupt")
+
+    # bind the parsed struct as a lambda variable (projection collapse
+    # would otherwise re-inline — re-run — the parse once per field ref)
+    def build(e):
+        return F.struct(
+            F.when(
+                e["__corrupt"].isNull(),
+                F.struct(*[e[f].alias(f) for f in schema.fieldNames()]),
+            ).alias("entity"),
+            e["__corrupt"].alias("_corrupt"),
+        )
+
+    row = F.element_at(
+        F.transform(
+            F.array(F.from_json(
+                "line", aug,
+                {"mode": "PERMISSIVE",
+                 "columnNameOfCorruptRecord": "__corrupt"})),
+            build),
+        1)
+    return base.select(
+        row.getField("entity").alias("entity"),
+        row.getField("_corrupt").alias("_corrupt"))
 
 
 def read_mongoexport(

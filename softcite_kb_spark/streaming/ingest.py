@@ -50,14 +50,24 @@ def stream_extract_triples(
     blacklist=None,
 ):
     """Micro-batch stage-1: foreachBatch reuses the batch extraction
-    operator verbatim — one implementation, two execution modes. Appends
-    parquet per batch; exactly-once via the streaming checkpoint."""
+    operator verbatim — one implementation, two execution modes.
+
+    Effectively-once, not just at-least-once: foreachBatch can re-run a
+    batch after a crash/retry, and a blind append would duplicate its
+    rows. Each batch dynamically OVERWRITES its own ``batch_id=N``
+    partition instead — a replay rewrites the identical partition, other
+    batches' partitions are untouched (idempotent sink + streaming
+    checkpoint = the exactly-once recipe).
+    """
     from softcite_kb_spark.operators.extraction import extract_triples
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         (extract_triples(batch_df, blacklist)
          .withColumn("batch_id", F.lit(batch_id))
-         .write.mode("append").parquet(out_dir))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id")
+         .parquet(out_dir))
 
     return (
         stream.writeStream
@@ -184,11 +194,19 @@ def running_conversation_stats(stream: DataFrame):
 def run_conversation_stats_stream(stream: DataFrame, out_dir: str,
                                   checkpoint_dir: str):
     stats = running_conversation_stats(stream)
+
+    # idempotent per-batch partition overwrite — see stream_extract_triples
+    def handle(df: DataFrame, bid: int) -> None:
+        (df.withColumn("batch_id", F.lit(bid))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id")
+         .parquet(out_dir))
+
     return (
         stats.writeStream
         .outputMode("update")
-        .foreachBatch(lambda df, bid: df.withColumn(
-            "batch_id", F.lit(bid)).write.mode("append").parquet(out_dir))
+        .foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -216,3 +216,21 @@ def test_tei_forename_unescaped(spark):
         .collect()[0]
     assert r.authors[0].given == "José"
     assert r.authors[0].family == "Née"
+
+
+def test_two_hop_reverse_direction(spark):
+    """start/end are the non-join endpoints whatever the traversal
+    direction (they were hardcoded to src/dst before)."""
+    from softcite_kb_spark.queries.api_queries import two_hop
+    a = spark.createDataFrame(pd.DataFrame({
+        "src_id": ["s1"], "dst_id": ["m"], "rel": ["ra"]}))
+    b = spark.createDataFrame(pd.DataFrame({
+        "src_id": ["e1"], "dst_id": ["m"], "rel": ["rb"]}))
+    # reverse: meet at a.dst == b.dst -> far endpoints are a.src and b.src
+    r = two_hop(a, b, join_left="dst_id", join_right="dst_id").collect()[0]
+    assert (r.start_id, r.via_id, r.end_id) == ("s1", "m", "e1")
+    # default forward direction unchanged
+    c = spark.createDataFrame(pd.DataFrame({
+        "src_id": ["m"], "dst_id": ["e2"], "rel": ["rc"]}))
+    r2 = two_hop(a, c).collect()[0]
+    assert (r2.start_id, r2.via_id, r2.end_id) == ("s1", "m", "e2")

@@ -29,10 +29,20 @@ def test_block_keys_cover_variants(spark, corpus):
                    & F.col("label").contains("-"))
            .select("label").first().label)
     rows = keys.filter(F.col("block_key") == _norm(lab)).collect()
-    # the label, its ALL-CAPS alias and its hyphen<->space alias/variant all
-    # normalize onto the same blocking key
-    assert {r.method for r in rows} >= {"label", "alias", "variant"}
+    # the label and its surface aliases normalize onto the same blocking
+    # key; the generated case/hyphen variants provably collapse onto it
+    # too, which is WHY authority_block_keys emits no separate variant rows
+    assert {r.method for r in rows} >= {"label", "alias"}
     assert len({r.entity_id for r in rows}) == 1
+    from softcite_kb_spark.functions.text import (capitalized_variant,
+                                                  hyphen_variant, norm_name)
+    variant_norms = (corpus["authority_entities"]
+        .select(norm_name(F.col("label")).alias("n"),
+                norm_name(capitalized_variant(F.upper("label"))).alias("nc"),
+                norm_name(hyphen_variant(F.col("label"))).alias("nh"))
+        .filter((F.col("nc").isNotNull() & (F.col("nc") != F.col("n")))
+                | (F.col("nh").isNotNull() & (F.col("nh") != F.col("n")))))
+    assert variant_norms.count() == 0
     # no empty/null keys anywhere
     assert keys.filter(F.col("block_key") == "").count() == 0
 

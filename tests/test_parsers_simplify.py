@@ -112,3 +112,23 @@ def test_cache_join(spark):
     # failed cache entries are retried as misses? no: success=False is a
     # recorded failure -> not a hit; miss = never seen (c) only
     assert {r.url for r in misses.collect()} == {"http://c"}
+
+
+def test_maintainer_comma_formats(spark):
+    """'Family, Given <email>' and comma-separated multi-maintainer lists
+    must parse instead of silently returning [] (the anchored fallback
+    regex could not consume a comma)."""
+    df = spark.createDataFrame(pd.DataFrame({"field": [
+        "Doe, Jane <jane@x.org>",
+        "Jane Doe <jane@x.org>, Bob Roe <bob@y.org>",
+        "Jane Doe <jane@x.org>",
+    ]}))
+    rows = df.select(pr.parse_r_persons("field").alias("p")).collect()
+    fg = rows[0].p
+    assert len(fg) == 1 and fg[0].family == "Doe" and fg[0].given == "Jane"
+    assert fg[0].email == "jane@x.org"
+    multi = rows[1].p
+    assert [(x.given, x.family, x.email) for x in multi] == [
+        ("Jane", "Doe", "jane@x.org"), ("Bob", "Roe", "bob@y.org")]
+    plain = rows[2].p
+    assert len(plain) == 1 and plain[0].family == "Doe"

@@ -43,3 +43,42 @@ def test_score_blend_orders_candidates(spark):
     winner = lk.vote_links(scored, min_total=1).first()
     assert winner.entity_id == "QA"
 
+
+
+def test_strong_id_not_rescored(spark):
+    """The authoritative pkg-id match must keep its 1.0 prior even when
+    its canonical label is textually far from the surface; and exact
+    hyphenated-label matches score 1.0 (norm-name comparison), so a
+    space-form competitor cannot steal the surface."""
+    auth = spark.createDataFrame(pd.DataFrame({
+        "entity_id": ["QA", "QB"],
+        "label": ["scikit-learn", "Sklearn"],
+        "aliases": [[], []],
+        "entity_type": ["software"] * 2,
+        "claims": [[], []],
+    }))
+    cands = spark.createDataFrame(pd.DataFrame({
+        "conv_id": ["c1", "c1"],
+        "norm_surface": ["sklearn", "sklearn"],
+        "n_mentions": [3, 3],
+        "entity_id": ["QA", "QB"],
+        "method": ["strong_id", "label"],
+        "score": [1.0, 1.0],
+    }))
+    scored = {r.entity_id: r.score
+              for r in lk.score_candidates_similarity(cands, auth).collect()}
+    assert scored["QA"] == 1.0          # strong id untouched
+    assert scored["QB"] == 1.0          # exact label (norm-name compare)
+
+    # hyphenated exact match: surface 'stat forge' vs label 'Stat-Forge'
+    auth2 = spark.createDataFrame(pd.DataFrame({
+        "entity_id": ["QH"], "label": ["Stat-Forge"], "aliases": [[]],
+        "entity_type": ["software"], "claims": [[]],
+    }))
+    cands2 = spark.createDataFrame(pd.DataFrame({
+        "conv_id": ["c1"], "norm_surface": ["stat forge"],
+        "n_mentions": [1], "entity_id": ["QH"],
+        "method": ["label"], "score": [1.0],
+    }))
+    got = lk.score_candidates_similarity(cands2, auth2).first()
+    assert got.score == 1.0

@@ -94,3 +94,12 @@ def test_cc_random_graphs_match_union_find(spark, pairs):
     got = {r.member_id: r.component_id
            for r in cz.connected_components(df, max_iter=40).collect()}
     assert got == _union_find(pairs)
+
+
+def test_salted_join_rejects_outer(spark):
+    """right/full outer would duplicate unmatched small-side rows once per
+    salt replica — rejected explicitly."""
+    import pytest
+    df = spark.createDataFrame(pd.DataFrame({"k": [1], "v": [1]}))
+    with pytest.raises(ValueError, match="salted_join supports"):
+        skew.salted_join(df, df.withColumnRenamed("v", "w"), "k", how="full")

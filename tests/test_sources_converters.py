@@ -262,3 +262,21 @@ def test_simple_format_null_component_no_collision(spark):
         stmts.schema)
     r2 = cv.to_simple(stmts2, naming).collect()[0]
     assert [q.value for q in r2.qualifiers] == ["a:0", "a:0"]
+
+
+def test_jsonl_empty_object_not_corrupt(spark, tmp_path):
+    """A syntactically valid line whose fields are all absent ('{}') is
+    NOT corrupt; a malformed line is."""
+    p = tmp_path / "d.jsonl"
+    p.write_text('{"id": "Q1", "labels": null}\n{}\n{"id": null}\nnot json\n')
+    schema = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("labels", T.StringType()),
+    ])
+    rows = js.read_jsonl_dump(spark, str(p), schema,
+                              strip_trailing_comma=False).collect()
+    corrupt = [r for r in rows if r._corrupt is not None]
+    clean = [r for r in rows if r._corrupt is None]
+    assert len(corrupt) == 1 and corrupt[0]._corrupt == "not json"
+    assert len(clean) == 3
+    assert {r.entity.id for r in clean} == {"Q1", None}
