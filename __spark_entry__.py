@@ -794,7 +794,8 @@ _PUNCT_SQL = r"""[.,;:!?''"()\[\]\-]"""
 _DOC_STATS_CTE = f"""
 WITH s AS (
   SELECT doc_id, text,
-         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     t -> t <> '') AS toks,
          length(text) AS n_chars0
   FROM documents
 ), st AS (
@@ -1351,7 +1352,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q16_doc_langid": _DOC_STATS_CTE + """
             SELECT doc_id,
-              CASE WHEN greatest(sw_en, sw_de, sw_fr, sw_es) <= 0.0 THEN 'und'
+              CASE WHEN greatest(sw_en, sw_de, sw_fr, sw_es) IS NULL
+                     OR greatest(sw_en, sw_de, sw_fr, sw_es) <= 0.0 THEN 'und'
                    WHEN sw_en = greatest(sw_en, sw_de, sw_fr, sw_es) THEN 'en'
                    WHEN sw_de = greatest(sw_en, sw_de, sw_fr, sw_es) THEN 'de'
                    WHEN sw_fr = greatest(sw_en, sw_de, sw_fr, sw_es) THEN 'fr'

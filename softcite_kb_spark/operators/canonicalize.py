@@ -70,6 +70,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    converged = False
     for i in range(max_iter):
         nbr = (
             sym.join(labels, sym.a == labels.member_id, "inner")
@@ -95,6 +96,13 @@ def connected_components(
         labels = new_labels.drop("changed")
         if converged:
             break
+    if not converged:
+        # a partially-propagated labeling splits one true component across
+        # several ids — silent wrong winners. Refuse, like the star rule.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} (graph diameter exceeds the budget); raise "
+            f"max_iter or use algorithm='star' (O(log n) rounds)")
     return labels
 
 
@@ -349,15 +357,16 @@ def fold_statements(
 
 def build_nodes(
     canon: DataFrame,
-    statements: DataFrame,
     authority_entities: DataFrame | None = None,
 ) -> DataFrame:
     """Materialize the deduplicated node table.
 
-    label = the most-mentioned surface (A10 best-value selection:
-    window by count desc with deterministic tiebreak); aliases = every other
-    observed surface; entity_id = authority link when the component anchored
-    on one.
+    label = the conversation-wise most frequent RAW FORM of the
+    most-mentioned normalized surface (A10 best-value selection: both
+    levels are count-desc windows with deterministic tiebreaks — a single
+    fringe ALL-CAPS mention can no longer steal the label from the
+    dominant spelling); aliases = every other observed surface;
+    entity_id = authority link when the component anchored on one.
     """
     # collect_list order is shuffle-dependent — sort_array after flatten
     # makes label/alias selection deterministic across runs/partitionings
@@ -369,12 +378,32 @@ def build_nodes(
                  F.flatten(F.collect_list("surfaces")))).alias("surfs"),
              F.max("entity_id").alias("entity_id"))
     )
+    # conversation-frequency of each raw form (one canon row = one
+    # conversation's mention group): the label should be the raw spelling
+    # most conversations actually used, not the lexicographic first
+    raw_freq = (
+        canon.select("canonical_id", "norm_surface",
+                     F.explode("surfaces").alias("raw"))
+        .groupBy("canonical_id", "norm_surface", "raw")
+        .agg(F.count("*").cast("long").alias("raw_cnt"))
+    )
+    wr = W.partitionBy("canonical_id", "norm_surface").orderBy(
+        F.desc("raw_cnt"), F.asc("raw"))
+    best_raw = (
+        raw_freq.withColumn("__rr", F.row_number().over(wr))
+        .filter(F.col("__rr") == 1)
+        .select("canonical_id", "norm_surface",
+                F.col("raw").alias("best_raw"))
+    )
+    per_surface = per_surface.join(
+        best_raw, ["canonical_id", "norm_surface"], "left")
     w = W.partitionBy("canonical_id").orderBy(F.desc("cnt"), F.asc("norm_surface"))
     best = (
         per_surface.withColumn("rn", F.row_number().over(w))
         .groupBy("canonical_id")
         .agg(
-            F.max(F.when(F.col("rn") == 1, F.element_at("surfs", 1))).alias("label"),
+            F.max(F.when(F.col("rn") == 1, F.coalesce(
+                F.col("best_raw"), F.element_at("surfs", 1)))).alias("label"),
             F.array_distinct(F.sort_array(
                 F.flatten(F.collect_list("surfs")))).alias("aliases"),
             F.sum("cnt").cast("long").alias("n_mentions"),

@@ -213,7 +213,16 @@ def extract_triples_pandas(
     bl = {t.upper() for t in blacklist_terms}
 
     def _is_num(s: pd.Series) -> pd.Series:
-        return pd.to_numeric(s, errors="coerce").notna()
+        # mirror Spark try_cast('double') EXACTLY (the native path's
+        # is_number): it trims, accepts nan/inf/infinity tokens in any
+        # case/sign, and tolerates a trailing d/f float suffix — plain
+        # pd.to_numeric would keep 'NaN'/'3d' mentions the native path
+        # drops, breaking the two-path equality contract
+        t = s.str.strip().str.lower()
+        special = t.isin(["nan", "+nan", "-nan", "inf", "+inf", "-inf",
+                          "infinity", "+infinity", "-infinity"])
+        stripped = t.str.replace(r"[df]$", "", regex=True)
+        return special | pd.to_numeric(stripped, errors="coerce").notna()
 
     def extract(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("turn_idx", kind="mergesort")  # stable order

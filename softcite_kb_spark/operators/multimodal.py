@@ -109,6 +109,11 @@ def _decode_bytes(payload: bytes) -> tuple[str, int, int, int]:
     if kind is None:
         raise ValueError(f"unknown kind byte {payload[4]}")
     w, h = struct.unpack("<II", payload[8:16])
+    # uint32 header vs int32 schema: a declared dimension >= 2^31 would
+    # kill the stage at Arrow conversion AFTER this "successful" decode —
+    # reject it here so it takes the malformed-payload path instead
+    if w >= 2**31 or h >= 2**31:
+        raise ValueError(f"dimension out of int32 range: {w}x{h}")
     checksum = sum(payload[16:]) % (2**31)
     return kind, w, h, checksum
 

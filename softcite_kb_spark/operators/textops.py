@@ -30,12 +30,23 @@ _PUNCT_CLASS = r"""[.,;:!?'"()\[\]\-]"""
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization; the shared basis of every op here."""
+    """Whitespace tokenization; the shared basis of every op here.
+
+    NOTE: split('') yields [''], so consumers that count or iterate must
+    drop empty tokens — :func:`nonempty_tokens` does; the dedup kernels
+    filter inline.
+    """
     return F.split(F.trim(text), r"\s+")
 
 
+def nonempty_tokens(text: Column) -> Column:
+    return F.filter(tokens(text), lambda t: t != "")
+
+
 def token_count(text: Column) -> Column:
-    return F.size(tokens(text))
+    """Non-empty token count: 0 for empty/whitespace-only text (the raw
+    split-array size reports 1 for '' — the [''] quirk)."""
+    return F.size(nonempty_tokens(text))
 
 
 def _sw_count(toks: Column, words: tuple[str, ...]) -> Column:
@@ -46,7 +57,7 @@ def _sw_count(toks: Column, words: tuple[str, ...]) -> Column:
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token count + punctuation/digit ratios + per-language stopword ratios."""
     out = (
-        df.withColumn("__toks", tokens(F.col(text_col)))
+        df.withColumn("__toks", nonempty_tokens(F.col(text_col)))
         .withColumn("n_tokens", F.size("__toks"))
         .withColumn("n_chars_calc", F.length(text_col))
         .withColumn(
@@ -97,7 +108,10 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     mx = F.greatest("sw_en", "sw_de", "sw_fr", "sw_es")
     return s.withColumn(
         "lang_pred",
-        F.when(mx <= 0.0, F.lit("und"))
+        # NULL-safe: NULL text gives NULL ratios; every when() condition
+        # would be NULL (not true) and control would FALL THROUGH to the
+        # 'es' otherwise-branch without the isNull arm
+        F.when(mx.isNull() | (mx <= 0.0), F.lit("und"))
         .when(F.col("sw_en") == mx, F.lit("en"))
         .when(F.col("sw_de") == mx, F.lit("de"))
         .when(F.col("sw_fr") == mx, F.lit("fr"))

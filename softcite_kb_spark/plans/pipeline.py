@@ -99,11 +99,17 @@ class KGPipeline:
 
     def _stage_fresh(self, stage: str, inputs: dict[str, int]) -> bool:
         m = self._load_manifest().get(stage)
-        return (
-            m is not None
-            and m["inputs"] == inputs
-            and m["config"] == self.config.fingerprint()
-        )
+        if (m is None or m["inputs"] != inputs
+                or m["config"] != self.config.fingerprint()):
+            return False
+        # outputs must still exist AND be the snapshots this stage wrote:
+        # a dropped table or an external write would otherwise be skipped
+        # over silently and downstream would read stale/missing data
+        for t, sid in (m.get("outputs") or {}).items():
+            snap = self.store.current_snapshot(t)
+            if snap is None or snap.snapshot_id != sid:
+                return False
+        return True
 
     def _record_stage(self, stage: str, inputs: dict[str, int],
                       outputs: dict[str, int], seconds: float,
@@ -208,8 +214,7 @@ class KGPipeline:
         canon = self.store.read(self.spark, "canonical_map")
         stmts = cz.fold_statements(triples, canon, source=self.config.source_name)
         self.store.write(stmts, "statements")
-        nodes = cz.build_nodes(canon, self.store.read(self.spark, "statements"),
-                               authority_entities=auth)
+        nodes = cz.build_nodes(canon, authority_entities=auth)
         edges = cz.build_edges(triples, canon,
                                authority_keys=lk.authority_block_keys(auth))
         self.store.write(edges, "edges")
@@ -222,7 +227,8 @@ class KGPipeline:
     # -- driver -----------------------------------------------------------
     _STAGE_IO: dict[str, tuple[list[str], list[str]]] = {
         "extract": (["transcripts"], ["triples", "mentions", "folded_mentions"]),
-        "link": (["folded_mentions", "authority_entities", "triples"],
+        "link": (["folded_mentions", "authority_entities",
+                  "authority_ids", "triples"],
                  ["linked_mentions"]),
         "canonicalize": (["linked_mentions", "triples", "authority_entities"],
                          ["canonical_map", "statements", "nodes", "edges"]),

@@ -212,7 +212,7 @@ def test_edges_resolve_objects_via_authority(spark, corpus):
     # languages are authority entities -> typed e: vertices, not hashes
     assert wi.filter(~F.col("dst_id").startswith("e:")).count() == 0
     stmts = cz.fold_statements(triples, canon)
-    nodes = cz.build_nodes(canon, stmts, corpus["authority_entities"])
+    nodes = cz.build_nodes(canon, corpus["authority_entities"])
     aug = cz.augment_nodes_with_authority(
         nodes, edges, corpus["authority_entities"])
     nid = aug.select(F.col("canonical_id").alias("id"))
@@ -228,7 +228,7 @@ def test_nodes_and_edges_materialize(spark, corpus):
     triples, linked = _pipeline_frames(spark, corpus)
     canon = cz.canonical_map(linked)
     stmts = cz.fold_statements(triples, canon)
-    nodes = cz.build_nodes(canon, stmts, corpus["authority_entities"])
+    nodes = cz.build_nodes(canon, corpus["authority_entities"])
     edges = cz.build_edges(triples, canon)
     assert nodes.filter(F.col("label").isNull()).count() == 0
     # node ids unique
@@ -250,3 +250,23 @@ def test_cc_star_refuses_nonconverged(spark):
     df = spark.createDataFrame(pd.DataFrame(pairs, columns=["src", "dst"]))
     with pytest.raises(RuntimeError, match="did not converge"):
         cz.connected_components_star(df, max_rounds=2)
+
+
+def test_build_nodes_label_most_frequent_raw(spark):
+    """A single fringe ALL-CAPS mention must not steal the label from the
+    dominant raw spelling (conversation-frequency pick, not lexicographic)."""
+    canon = spark.createDataFrame(pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(4)],
+        "norm_surface": ["statlib"] * 4,
+        "canonical_id": ["m:x"] * 4,
+        "node_id": ["m:x"] * 4,
+        "entity_id": [None] * 4,
+        "n_mentions": [1, 1, 1, 1],
+        "surfaces": [["Statlib"], ["Statlib"], ["Statlib"], ["STATLIB"]],
+        "versions": [[]] * 4,
+        "first_turn_idx": pd.array([0] * 4, dtype="int32"),
+    }))
+    nodes = cz.build_nodes(canon).collect()
+    assert len(nodes) == 1
+    assert nodes[0].label == "Statlib"           # 3 convs vs 1, not "STATLIB"
+    assert sorted(nodes[0].aliases) == ["STATLIB", "Statlib"]

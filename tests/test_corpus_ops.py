@@ -309,3 +309,34 @@ def test_scrub_pii_and_clean_text(spark):
     assert out[3].startswith("from <IP> to <IP>,")
     assert out[4] == "cleancontrolchars and runs"
     assert out[5] is None
+
+
+def test_lang_id_null_and_empty_text(spark):
+    """NULL/empty text must classify 'und', never fall through to 'es';
+    empty text counts 0 tokens (not the split-[''] quirk)."""
+    d = spark.createDataFrame(
+        pd.DataFrame([(1, None), (2, ""), (3, "   "), (4, "el perro es un animal y no")],
+                     columns=["doc_id", "text"]))
+    langs = {r.doc_id: r.lang_pred for r in textops.lang_id(d).collect()}
+    assert langs == {1: "und", 2: "und", 3: "und", 4: "es"}
+    stats = {r.doc_id: r.n_tokens for r in textops.text_stats(d).collect()}
+    assert stats[2] == 0 and stats[3] == 0 and stats[4] == 7
+
+
+def test_decode_media_oversize_dims_dropped(spark):
+    """A payload declaring a uint32 dimension >= 2^31 is poison, not a
+    stage-killing Arrow overflow."""
+    import struct as st
+    bad = multimodal.MAGIC + bytes([0, 0, 0, 0]) + st.pack(
+        "<II", 0xFFFFFFFF, 10) + b"body"
+    media = multimodal.synthesize_media(spark, n=2).unionByName(
+        spark.createDataFrame(
+            pd.DataFrame([{"media_id": 99, "kind": "image",
+                           "payload": bytearray(bad),
+                           "meta": {"declared_width": 1,
+                                    "declared_height": 1}}]),
+            schema=multimodal.MEDIA_SCHEMA))
+    assert multimodal.decode_media(media).count() == 2
+    kept = multimodal.decode_media(media, drop_malformed=False) \
+        .filter(F.col("media_id") == 99).collect()
+    assert kept[0].width is None

@@ -117,3 +117,24 @@ def test_same_name_folding(spark):
     assert r1.n_mentions == 3
     assert set(r1.surfaces) == {"Stat-Forge", "STAT-FORGE", "Stat Forge"}
     assert set(v for v in r1.versions if v) == {"1.0", "2.0"}
+
+
+def test_numeric_filter_path_parity_special_tokens(spark):
+    """try_cast accepts NaN/inf/'3d' style literals — the pandas path must
+    drop exactly the same mentions the native path drops."""
+    pdf = pd.DataFrame({
+        "conv_id": ["c1"] * 4,
+        "turn_idx": pd.array(range(4), dtype="int32"),
+        "text": [
+            "NaN depends on Statlib.",
+            "Infinity depends on Statlib.",
+            "Statlib depends on Graphkit.",
+            "3d depends on Statlib.",
+        ],
+    })
+    t = spark.createDataFrame(pdf)
+    nat = sorted(map(tuple, ex.extract_triples(t).collect()))
+    pnd = sorted(map(tuple, ex.extract_triples_pandas(t).collect()))
+    assert nat == pnd
+    subs = {r[2] for r in nat}
+    assert "NaN" not in subs and "Infinity" not in subs
