@@ -230,13 +230,30 @@ def q12_part_blacklist_filter(spark, sf_dir):
 
 
 def q13_name_normalization(spark, sf_dir):
-    """F-family string normalization (norm key + blocking key, F4-F8)."""
+    """F-family string normalization (norm key + blocking key, F4-F8).
+
+    The raw p_name fixture is already lowercase/hyphen-free/clean, which
+    would leave case-folding, hyphen translation and whitespace collapse
+    untested — planted variants (UPPER, hyphenated, triple-spaced+padded)
+    exercise every rule; all four forms must produce the identical norm.
+    """
     p = _t(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        norm_name(F.col("p_name")).alias("norm"),
-        block_key(F.col("p_name")).alias("bkey"),
-        F.upper("p_name").alias("upper_name"),
+    names = p.select((F.col("p_partkey") * 4).alias("name_id"),
+                     F.col("p_name").alias("name"))
+    for off, expr in (
+        (1, F.upper("p_name")),
+        (2, F.replace(F.col("p_name"), F.lit(" "), F.lit("-"))),
+        (3, F.concat(F.lit("  "),
+                     F.regexp_replace("p_name", " ", "   "), F.lit(" "))),
+    ):
+        names = names.unionByName(p.select(
+            (F.col("p_partkey") * 4 + off).alias("name_id"),
+            expr.alias("name")))
+    return names.select(
+        "name_id",
+        norm_name(F.col("name")).alias("norm"),
+        block_key(F.col("name")).alias("bkey"),
+        F.upper("name").alias("upper_name"),
     )
 
 
@@ -442,11 +459,17 @@ def q31_two_hop(spark, sf_dir):
 
 
 def q32_props_json(spark, sf_dir):
-    """F17 JSON field extraction from the ragged props column."""
+    """F17 JSON field extraction from a GENUINELY ragged props column —
+    rows missing the key are planted (the fixture always carries it), and
+    try_cast turns the no-match '' into NULL (a plain ANSI cast would
+    throw), which sum() skips while count(*) still sees the row."""
     e = _t(spark, sf_dir, "events")
+    aug = e.select("event_type", "props").unionByName(
+        e.filter(F.col("event_id") % 37 == 0)
+        .select("event_type", F.lit('{"ragged": true}').alias("props")))
     return (
-        e.withColumn("k", F.regexp_extract("props", r'"k": (\d+)', 1)
-                     .cast("long"))
+        aug.withColumn("k", F.regexp_extract("props", r'"k": (\d+)', 1)
+                       .try_cast("long"))
         .groupBy("event_type")
         .agg(F.sum("k").cast("long").alias("sum_k"),
              F.count("*").cast("long").alias("n"))
@@ -454,23 +477,40 @@ def q32_props_json(spark, sf_dir):
 
 
 def q33_capitalized_variant(spark, sf_dir):
-    """F4 ALL-CAPS -> Title Case variant (merge.py:299-318)."""
+    """F4 ALL-CAPS -> Title Case variant (merge.py:299-318): the ALL-CAPS
+    rows produce a Title variant; the raw lowercase rows exercise the
+    not-all-caps gate (NULL variant) — an always-initcap impl fails."""
     from softcite_kb_spark.functions.text import capitalized_variant
     p = _t(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.upper("p_name").alias("caps_name"),
-        capitalized_variant(F.upper("p_name")).alias("variant"),
+    names = p.select((F.col("p_partkey") * 2).alias("name_id"),
+                     F.upper("p_name").alias("name")).unionByName(
+        p.select((F.col("p_partkey") * 2 + 1).alias("name_id"),
+                 F.col("p_name").alias("name")))
+    return names.select(
+        "name_id", "name",
+        capitalized_variant(F.col("name")).alias("variant"),
     )
 
 
 def q34_hyphen_variant(spark, sf_dir):
-    """F5 hyphen<->space variant, exactly-one-separator rule (merge.py:320-335)."""
+    """F5 hyphen<->space variant, exactly-one-separator rule
+    (merge.py:320-335). Raw p_name only exercises space->hyphen; planted
+    hyphenated forms drive hyphen->space and a mixed space+hyphen form
+    drives the NULL gate."""
     from softcite_kb_spark.functions.text import hyphen_variant
     p = _t(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey", "p_name",
-        hyphen_variant(F.col("p_name")).alias("variant"),
+    names = p.select((F.col("p_partkey") * 3).alias("name_id"),
+                     F.col("p_name").alias("name"))
+    for off, expr in (
+        (1, F.replace(F.col("p_name"), F.lit(" "), F.lit("-"))),
+        (2, F.concat(F.col("p_name"), F.lit("-x"))),
+    ):
+        names = names.unionByName(p.select(
+            (F.col("p_partkey") * 3 + off).alias("name_id"),
+            expr.alias("name")))
+    return names.select(
+        "name_id", "name",
+        hyphen_variant(F.col("name")).alias("variant"),
     )
 
 
@@ -1333,12 +1373,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "q13_name_normalization": """
-            SELECT p_partkey,
-                   trim(regexp_replace(lower(replace(p_name, '-', ' ')),
+            WITH names AS (
+              SELECT p_partkey*4 AS name_id, p_name AS name FROM part
+              UNION ALL SELECT p_partkey*4+1, upper(p_name) FROM part
+              UNION ALL SELECT p_partkey*4+2, replace(p_name, ' ', '-')
+              FROM part
+              UNION ALL SELECT p_partkey*4+3,
+                '  ' || regexp_replace(p_name, ' ', '   ', 'g') || ' '
+              FROM part
+            )
+            SELECT name_id,
+                   trim(regexp_replace(lower(replace(name, '-', ' ')),
                                        '\\s+', ' ', 'g')) AS norm,
-                   regexp_replace(lower(p_name), '[^a-z0-9]', '', 'g') AS bkey,
-                   upper(p_name) AS upper_name
-            FROM part
+                   regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS bkey,
+                   upper(name) AS upper_name
+            FROM names
         """,
         "q14_doc_token_stats": _DOC_STATS_CTE + """
             SELECT doc_id, n_tokens, punct_ratio, digit_ratio, sw_en FROM st
@@ -1500,37 +1549,52 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_parts DESC, c_custkey ASC LIMIT 25
         """,
         "q32_props_json": """
+            WITH aug AS (
+              SELECT event_type, props FROM events
+              UNION ALL
+              SELECT event_type, '{"ragged": true}' FROM events
+              WHERE event_id % 37 = 0
+            )
             SELECT event_type,
-                   sum(regexp_extract(props, '"k": (\\d+)', 1)::BIGINT)::BIGINT
-                     AS sum_k,
+                   sum(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1)
+                                AS BIGINT))::BIGINT AS sum_k,
                    count(*)::BIGINT AS n
-            FROM events GROUP BY 1
+            FROM aug GROUP BY 1
         """,
         "q33_capitalized_variant": """
-            SELECT p_partkey, upper(p_name) AS caps_name,
-                   CASE WHEN upper(p_name) = upper(upper(p_name))
-                         AND upper(p_name) <> title
-                        THEN title END AS variant
-            FROM (
-              SELECT p_partkey, p_name,
+            WITH names AS (
+              SELECT p_partkey*2 AS name_id, upper(p_name) AS name FROM part
+              UNION ALL SELECT p_partkey*2+1, p_name FROM part
+            ), t AS (
+              SELECT name_id, name,
                      array_to_string(
-                       list_transform(string_split(lower(p_name), ' '),
+                       list_transform(string_split(lower(name), ' '),
                          w -> upper(substring(w, 1, 1)) || substring(w, 2)),
                        ' ') AS title
-              FROM part
+              FROM names
             )
+            SELECT name_id, name,
+                   CASE WHEN name = upper(name) AND name <> title
+                        THEN title END AS variant
+            FROM t
         """,
         "q34_hyphen_variant": """
-            SELECT p_partkey, p_name,
+            WITH names AS (
+              SELECT p_partkey*3 AS name_id, p_name AS name FROM part
+              UNION ALL SELECT p_partkey*3+1, replace(p_name, ' ', '-')
+              FROM part
+              UNION ALL SELECT p_partkey*3+2, p_name || '-x' FROM part
+            )
+            SELECT name_id, name,
               CASE
-                WHEN length(p_name) - length(replace(p_name, '-', '')) = 1
-                 AND length(p_name) - length(replace(p_name, ' ', '')) = 0
-                THEN replace(p_name, '-', ' ')
-                WHEN length(p_name) - length(replace(p_name, ' ', '')) = 1
-                 AND length(p_name) - length(replace(p_name, '-', '')) = 0
-                THEN replace(p_name, ' ', '-')
+                WHEN length(name) - length(replace(name, '-', '')) = 1
+                 AND length(name) - length(replace(name, ' ', '')) = 0
+                THEN replace(name, '-', ' ')
+                WHEN length(name) - length(replace(name, ' ', '')) = 1
+                 AND length(name) - length(replace(name, '-', '')) = 0
+                THEN replace(name, ' ', '-')
               END AS variant
-            FROM part
+            FROM names
         """,
         "q35_event_sessions": """
             WITH s AS (

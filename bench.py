@@ -46,8 +46,18 @@ BENCH_QUERIES = [
 
 
 def _consume(df) -> int:
-    """Force full execution without driver-side materialization cost."""
-    return df.count()
+    """Force FULL execution without driver-side materialization cost.
+
+    NOT ``count()``: Catalyst prunes projection-only work under a count,
+    so a query whose cost is per-row computed columns (fingerprints,
+    minhash slots, token stats) would time an empty-projection parquet
+    scan instead of the operator. The noop sink computes every column of
+    every row and discards them; row count comes from a cheap accumulator-
+    free second count (metadata/pruned — fine, it is not timed work we
+    rely on for cost).
+    """
+    df.write.mode("overwrite").format("noop").save()
+    return 0
 
 
 def main() -> None:
@@ -67,30 +77,49 @@ def main() -> None:
     for name in BENCH_QUERIES:
         # min of 2 reps: the sandbox host has bursty background load and a
         # single-shot timing can be 3-8x off; min approximates uncontended
-        best, n = None, 0
+        best = None
         for _ in range(2):
             t0 = time.perf_counter()
-            n = _consume(qs[name](spark, sf_dir))
+            _consume(qs[name](spark, sf_dir))
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
         if name == "q23_extract_triples_synthetic":
+            # row count OUTSIDE the timed reps (count() prunes projections,
+            # so it measures a different plan than the timed noop sink)
+            n = qs[name](spark, sf_dir).count()
             extras["triples_per_sec"] = round(n / best, 1)
             extras["n_triples"] = n
 
     # full 3-stage KG pipeline on a generated transcript corpus
     work = "/tmp/bench_kb"
     corpus_dir = os.path.join(work, "corpus")
-    if not os.path.exists(os.path.join(corpus_dir, "transcripts.parquet")):
-        datagen.write_corpus(corpus_dir, n_conversations=6000, seed=42)
-    store = TableStore(os.path.join(work, f"kb_{int(time.time())}"))
-    for n in ("transcripts", "authority_entities", "authority_ids"):
-        store.write(spark.read.parquet(os.path.join(corpus_dir, f"{n}.parquet")), n)
-    t0 = time.perf_counter()
-    KGPipeline(spark, store,
-               PipelineConfig(blacklist=tuple(datagen.BLACKLIST),
-                              min_vote_total=1)).run(resume=False)
-    dt = time.perf_counter() - t0
+    corpus_cfg = {"n_conversations": 6000, "seed": 42}
+    marker = os.path.join(corpus_dir, "_corpus_cfg.json")
+    # regenerate when the corpus CONFIG changes — a bare existence check
+    # would silently benchmark a stale corpus from an older configuration
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as f:
+            stale = json.load(f) != corpus_cfg
+    if stale:
+        datagen.write_corpus(corpus_dir, **corpus_cfg)
+        with open(marker, "w") as f:
+            json.dump(corpus_cfg, f)
+    # min-of-2 like every other timing: the pipeline is the largest
+    # headline component and a single-shot run is hostage to load bursts
+    dt = None
+    for rep in range(2):
+        store = TableStore(os.path.join(work, f"kb_{int(time.time())}_{rep}"))
+        for n in ("transcripts", "authority_entities", "authority_ids"):
+            store.write(
+                spark.read.parquet(os.path.join(corpus_dir, f"{n}.parquet")), n)
+        t0 = time.perf_counter()
+        KGPipeline(spark, store,
+                   PipelineConfig(blacklist=tuple(datagen.BLACKLIST),
+                                  min_vote_total=1)).run(resume=False)
+        d = time.perf_counter() - t0
+        dt = d if dt is None else min(dt, d)
     timings["kg_pipeline_e2e"] = round(dt, 3)
     n_turns = store.current_snapshot("transcripts").row_count
     n_triples = store.current_snapshot("triples").row_count

@@ -22,15 +22,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_cell(v):
+    # \x00 prefix keeps NULL distinct from a literal string 'NULL'
     if v is None:
-        return "NULL"
+        return "\x00NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return f"{v:.6f}"
     if isinstance(v, bool):
         return str(int(v))
-    return str(v)
+    # escape the row-key separator so a \x1f inside a text cell cannot
+    # shift field boundaries and collide two different rows
+    return str(v).replace("\x1f", "\x00S")
 
 
 def frame_key(rows, cols):
@@ -53,6 +56,15 @@ def main():
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must not produce a vacuous '0 pass, 0 fail' success
+        print(f"FAIL: unknown query names {sorted(unknown)}")
+        sys.exit(2)
+    stale_oracles = set(oracles) - set(qs)
+    if stale_oracles:
+        print(f"FAIL: oracle_sql keys without queries: {sorted(stale_oracles)}")
+        sys.exit(2)
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:
