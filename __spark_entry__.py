@@ -542,6 +542,15 @@ def q43_asof_join(spark, sf_dir):
         F.col("event_id").alias("r_event_id"),
         F.col("ts").alias("r_ts"),
         F.round("value", 6).alias("r_value"))
+    # pin the tiebreak: DuckDB's ASOF JOIN pick among right rows TIED on
+    # r_ts is unspecified, while asof_join picks the greatest payload
+    # struct — dedupe right to one row per (user_id, r_ts), keeping the
+    # max-payload row, in BOTH engines, so the contract can't go flaky if
+    # a regenerated events fixture ever contains tied view timestamps
+    w_tie = Window.partitionBy("user_id", "r_ts").orderBy(
+        F.desc("r_event_id"), F.desc("r_value"))
+    right = (right.withColumn("__tn", F.row_number().over(w_tie))
+             .filter(F.col("__tn") == 1).drop("__tn"))
     out = asof_join(left, right, ["user_id"], "ts", "r_ts")
     # no-match NULLs -> sentinels: pandas floats NULL bigint columns to
     # NaN and timestamps to NaT, breaking the driver's value compare
@@ -1093,10 +1102,18 @@ def oracle_sql() -> dict[str, str]:
             WITH l AS (
               SELECT user_id, event_id, ts, round(value, 6) AS v
               FROM events WHERE event_type = 'purchase'
-            ), r AS (
+            ), r0 AS (
               SELECT user_id, event_id AS r_event_id, ts AS r_ts,
                      round(value, 6) AS r_value
               FROM events WHERE event_type = 'view'
+            ), r AS (
+              -- tiebreak pinned on both engines: one row per (user_id,
+              -- r_ts), max payload wins (see the Spark-side comment)
+              SELECT user_id, r_event_id, r_ts, r_value FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id, r_ts
+                          ORDER BY r_event_id DESC, r_value DESC) AS tn
+                FROM r0
+              ) WHERE tn = 1
             )
             SELECT l.user_id, l.event_id, l.ts, l.v,
                    coalesce(r.r_event_id, -1) AS r_event_id,
@@ -1151,11 +1168,15 @@ def oracle_sql() -> dict[str, str]:
                      regexp_replace(
                        regexp_replace(
                          regexp_replace(
-                           regexp_replace(text,
-                             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                             '<EMAIL>', 'g'),
-                           'https?://\S+', '<URL>', 'g'),
-                         '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+                           regexp_replace(
+                             regexp_replace(text,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                               '<EMAIL>', 'g'),
+                             'https?://\S+', '<URL>', 'g'),
+                           '(^|[^0-9.])([0-9]{1,3}(\.[0-9]{1,3}){3})(\z|[^0-9.])',
+                           '\1<IP>\4', 'g'),
+                         '(^|[^0-9.])([0-9]{1,3}(\.[0-9]{1,3}){3})(\z|[^0-9.])',
+                         '\1<IP>\4', 'g'),
                        '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
                      '\s+', ' ', 'g')) AS clean
             FROM dirty

@@ -170,12 +170,19 @@ def to_simple(statements: DataFrame, naming: DataFrame,
     # (NULL,'x') would collide with ('x',NULL) and 'V\\x1fS' with
     # 'V'+'S'. source/count disambiguate same-(prop,value) rows; exact
     # duplicate raw rows share a key (their identical qualifier rows are
-    # deduped before the regroup below).
+    # deduped before the regroup below). The qualifiers array itself is
+    # part of the key: two rows identical on every scalar field but
+    # carrying DIFFERENT qualifier lists are distinct statements
+    # (fold_statements can't emit such rows, but to_simple is a public
+    # API) — without it they'd collide and dropDuplicates would assign
+    # one arbitrary list to both.
     raw_key_cols = [F.col(entity_col).alias("e"), F.col("prop").alias("p"),
                     F.col("value").alias("v")]
     for extra in ("source", "count"):
         if extra in statements.columns:
             raw_key_cols.append(F.col(extra).alias(extra))
+    if has_quals:
+        raw_key_cols.append(F.col("qualifiers").alias("q"))
     raw_sid = F.sha2(F.to_json(F.struct(*raw_key_cols)), 256)
     if has_quals:
         statements = statements.withColumn("__sid", raw_sid)

@@ -170,8 +170,10 @@ def connected_components_star(
     )
     cur = e.localCheckpoint(eager=True)
     prev_sig = None
+    prev = None
     converged = False
     for _ in range(max_rounds):
+        prev = cur
         cur = _star_round(cur).localCheckpoint(eager=True)
         sig_row = cur.agg(
             F.count("*").alias("n"),
@@ -181,8 +183,17 @@ def connected_components_star(
         ).collect()[0]
         sig = (sig_row["n"], sig_row["h"])
         if sig == prev_sig:
-            converged = True
-            break
+            # the signature alone is probabilistic — a hash-sum collision
+            # between two DIFFERENT edge multisets would declare a
+            # non-converged (invalid) labeling converged, the exact
+            # failure the RuntimeError below guards against. Confirm with
+            # one exact set comparison: counts already match (sig), both
+            # sides are distinct sets, so one-direction exceptAll-empty
+            # proves equality. Runs once, on the two final (smallest)
+            # edge sets — not per round.
+            if cur.exceptAll(prev).isEmpty():
+                converged = True
+                break
         prev_sig = sig
     if not converged:
         # a non-converged small-star state is NOT a valid labeling (members

@@ -122,7 +122,18 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 # backrefs) so a SQL oracle applies the IDENTICAL expressions.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 URL_RE = r"https?://\S+"
-IP_RE = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+# A dotted quad counts as an IP only when NOT embedded in a longer dotted
+# sequence: '1.2.3.4.5' is a version string, not '<IP>.5'. \b can't say
+# that ('4' to '.' IS a word boundary) and lookarounds are out (RE2 has
+# none — the oracle runs this exact pattern), so the boundaries are
+# captured groups: (start-of-text | non-digit-non-dot) on each side,
+# kept in the replacement. \z, not $: Java's $ also matches BEFORE a
+# trailing newline, RE2's only at end of text — \z means end-of-text in
+# both. Because a match CONSUMES its boundary char, two IPs separated by
+# a single separator ('1.1.1.1,2.2.2.2') need a second pass: the first
+# rewrite ends in '>' (a valid boundary), so pass 2 always catches the
+# survivor — scrub_pii applies the pattern twice.
+IP_RE = r"(^|[^0-9.])([0-9]{1,3}(\.[0-9]{1,3}){3})(\z|[^0-9.])"
 CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
 
 
@@ -134,10 +145,13 @@ def scrub_pii(text: Column,
     the redaction pass a training-data pipeline runs before text ships.
     Order matters: URLs can embed IP/host parts, so URL scrub runs before
     IP scrub; emails first (an email is never inside a URL token here
-    because URL_RE would have consumed it)."""
+    because URL_RE would have consumed it). The IP pattern runs TWICE —
+    see IP_RE for why one pass can miss an IP adjacent to another."""
     out = F.regexp_replace(text, EMAIL_RE, email_token)
     out = F.regexp_replace(out, URL_RE, url_token)
-    out = F.regexp_replace(out, IP_RE, ip_token)
+    ip_repl = "$1" + ip_token + "$4"
+    out = F.regexp_replace(out, IP_RE, ip_repl)
+    out = F.regexp_replace(out, IP_RE, ip_repl)
     return out
 
 

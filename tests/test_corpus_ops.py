@@ -297,6 +297,8 @@ def test_scrub_pii_and_clean_text(spark):
         (3, "from 10.0.0.1 to 192.168.255.254, not 1.2.3.4.5 though"),
         (4, "clean\x01control\x02chars\tand   runs"),
         (5, None),
+        (6, "1.1.1.1,2.2.2.2,3.3.3.3"),
+        (7, "v1.2.3.4 8.8.8.8"),
     ]
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
     out = {r.doc_id: r.clean for r in df.select(
@@ -305,10 +307,17 @@ def test_scrub_pii_and_clean_text(spark):
     ).collect()}
     assert out[1] == "mail <EMAIL> and <EMAIL> now"
     assert out[2] == "see <URL> or <URL> ok"
-    # 1.2.3.4.5 is not a valid dotted quad at a boundary -> untouched tail
-    assert out[3].startswith("from <IP> to <IP>,")
+    # 1.2.3.4.5 is part of a LONGER dotted sequence -> not an IP at all
+    # (boundary groups reject it; the old \b pattern emitted '<IP>.5')
+    assert out[3] == "from <IP> to <IP>, not 1.2.3.4.5 though"
     assert out[4] == "cleancontrolchars and runs"
     assert out[5] is None
+    # adjacent IPs share separator chars: the consumed-boundary case the
+    # second pass exists for
+    assert out[6] == "<IP>,<IP>,<IP>"
+    # 'v1.2.3.4' — '1' is preceded by a letter (valid boundary), so the
+    # quad IS scrubbed; a bare quad at end-of-text is caught by \z
+    assert out[7] == "v<IP> <IP>"
 
 
 def test_lang_id_null_and_empty_text(spark):

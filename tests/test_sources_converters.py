@@ -264,6 +264,27 @@ def test_simple_format_null_component_no_collision(spark):
     assert [q.value for q in r2.qualifiers] == ["a:0", "a:0"]
 
 
+def test_simple_format_same_scalars_distinct_qualifiers(spark):
+    """Two statements identical on EVERY scalar field but carrying
+    different qualifier lists are distinct rows; the qualifiers column is
+    part of the regroup key, so neither list is silently assigned to the
+    other row (fold_statements can't emit such rows, but to_simple is a
+    public API)."""
+    stmts = spark.createDataFrame(
+        [("e:Q1", "P277", "x", "string", "t", 1,
+          [{"prop": "P2677", "value": "a:0", "datatype": "string"}]),
+         ("e:Q1", "P277", "x", "string", "t", 1,
+          [{"prop": "P2677", "value": "b:9", "datatype": "string"}])],
+        "canonical_id string, prop string, value string, datatype string, "
+        "source string, count long, "
+        "qualifiers array<struct<prop:string,value:string,datatype:string>>")
+    naming = spark.createDataFrame(pd.DataFrame({"id": ["x"], "name": ["X"]}))
+    rows = cv.to_simple(stmts, naming).collect()
+    assert len(rows) == 2
+    quals = sorted(tuple(q.value for q in r.qualifiers) for r in rows)
+    assert quals == [("a:0",), ("b:9",)]
+
+
 def test_jsonl_empty_object_not_corrupt(spark, tmp_path):
     """A syntactically valid line whose fields are all absent ('{}') is
     NOT corrupt; a malformed line is."""
