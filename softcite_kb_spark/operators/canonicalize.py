@@ -22,9 +22,11 @@ Reference analog:
 
 Scale notes: label propagation shuffles once per iteration on the edge
 table; iterations = graph diameter (match graphs are near-star-shaped, so
-3-5). ``localCheckpoint`` each round cuts the lineage so plans don't grow
-exponentially. At cluster scale you would persist each round to a scratch
-Iceberg table instead (same interface, durable).
+3-5). Each round ends at a materialization barrier so plans don't grow
+exponentially — the barrier is INJECTABLE (``materializer`` param, see
+softcite_kb_spark.materialize): localCheckpoint by default (single JVM),
+a scratch-table persist on a cluster (localCheckpoint blocks are
+executor-local — a lost executor would kill a 10-round CC job at round 9).
 """
 
 from __future__ import annotations
@@ -34,6 +36,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from softcite_kb_spark.functions.text import norm_name
+from softcite_kb_spark.materialize import (
+    Materializer, local_checkpoint_materializer)
 
 
 def connected_components(
@@ -42,6 +46,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     checkpoint_every: int = 1,
+    materializer: Materializer | None = None,
 ) -> DataFrame:
     """Min-label propagation CC on an undirected edge DataFrame.
 
@@ -53,7 +58,12 @@ def connected_components(
     one on labels. Match graphs from blocking are near-stars so this
     converges in a few rounds; a long-chain adversary is bounded by
     ``max_iter`` (raise for pathological graphs).
+
+    ``materializer``: the per-round lineage barrier — localCheckpoint by
+    default; pass ``ScratchTableMaterializer(store)`` on a cluster for a
+    fault-tolerant barrier (see softcite_kb_spark.materialize).
     """
+    mat = materializer or local_checkpoint_materializer
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
@@ -61,13 +71,12 @@ def connected_components(
         .distinct()
     )
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.localCheckpoint(eager=True)
+    sym = mat(sym)
 
-    labels = (
+    labels = mat(
         sym.select(F.col("a").alias("member_id"))
         .distinct()
         .withColumn("component_id", F.col("member_id"))
-        .localCheckpoint(eager=True)
     )
 
     converged = False
@@ -87,9 +96,9 @@ def connected_components(
             )
         )
         if checkpoint_every and (i % checkpoint_every == checkpoint_every - 1):
-            # the checkpoint is the round's materialization (cuts lineage);
-            # the probe below then reads cached blocks only
-            new_labels = new_labels.localCheckpoint(eager=True)
+            # the barrier is the round's materialization (cuts lineage);
+            # the probe below then reads materialized output only
+            new_labels = mat(new_labels)
         # convergence probe: take(1) short-circuits at the first changed row
         # instead of scanning everything for a full count
         converged = len(new_labels.filter(F.col("changed")).take(1)) == 0
@@ -145,6 +154,7 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 50,
+    materializer: Materializer | None = None,
 ) -> DataFrame:
     """Large-star/small-star CC — the cluster-scale update rule.
 
@@ -156,25 +166,29 @@ def connected_components_star(
     workload via ``canonical_map(..., algorithm="star")``.
 
     Convergence probe: (count, hash-sum) signature of the edge multiset —
-    two scalar aggregates per round, no full-set comparison.
+    two scalar aggregates per round, no full-set comparison (plus ONE
+    exact set comparison when the signature first repeats).
+
+    ``materializer``: per-round lineage barrier, injectable like
+    :func:`connected_components`'s.
     """
+    mat = materializer or local_checkpoint_materializer
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    verts = (
+    verts = mat(
         e.select("a").unionByName(e.select(F.col("b").alias("a"))).distinct()
-        .localCheckpoint(eager=True)
     )
-    cur = e.localCheckpoint(eager=True)
+    cur = mat(e)
     prev_sig = None
     prev = None
     converged = False
     for _ in range(max_rounds):
         prev = cur
-        cur = _star_round(cur).localCheckpoint(eager=True)
+        cur = mat(_star_round(cur))
         sig_row = cur.agg(
             F.count("*").alias("n"),
             # decimal sum: a long sum of xxhash64 values overflows ANSI mode
@@ -261,7 +275,8 @@ def match_pairs(linked_mentions: DataFrame) -> DataFrame:
 
 def canonical_map(linked_mentions: DataFrame, max_iter: int = 25,
                   algorithm: str = "label-propagation",
-                  star_rounds: int = 50) -> DataFrame:
+                  star_rounds: int = 50,
+                  materializer: Materializer | None = None) -> DataFrame:
     """(node_id, conv_id, norm_surface, entity_id, canonical_id).
 
     canonical_id prefers a component's authority-entity hub ("e:Qxx") if the
@@ -275,15 +290,18 @@ def canonical_map(linked_mentions: DataFrame, max_iter: int = 25,
     defensive choice when edge data may contain long chains; budget =
     ``star_rounds``, a separate knob because star rounds and LP iterations
     are different units and the star path REFUSES to return non-converged
-    labelings).
+    labelings). ``materializer`` is the per-round lineage barrier,
+    threaded to whichever CC runs (scratch tables on a cluster).
     """
     nodes = linked_mentions.withColumn(
         "node_id", mention_node_id(F.col("conv_id"), F.col("norm_surface")))
     pairs = match_pairs(linked_mentions)
     if algorithm == "star":
-        cc = connected_components_star(pairs, max_rounds=star_rounds)
+        cc = connected_components_star(pairs, max_rounds=star_rounds,
+                                       materializer=materializer)
     else:
-        cc = connected_components(pairs, max_iter=max_iter)
+        cc = connected_components(pairs, max_iter=max_iter,
+                                  materializer=materializer)
 
     # prefer the entity hub as the canonical representative of a component
     hubs = (

@@ -188,6 +188,7 @@ def refine_centroids(
     rounds: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materializer=None,
 ) -> DataFrame:
     """Lloyd refinement of the coarse quantizer, distributed: assign ->
     per-(cell, coordinate) mean (posexplode + groupBy, never a driver
@@ -195,7 +196,14 @@ def refine_centroids(
     the refined centroids are deterministic across partitionings (double
     summation order only moves the last ulps). Cells that lose all
     members keep their previous centroid.
+
+    ``materializer``: per-round lineage barrier (see
+    softcite_kb_spark.materialize) — localCheckpoint by default, a
+    fault-tolerant scratch-table persist on a cluster.
     """
+    from softcite_kb_spark.materialize import local_checkpoint_materializer
+
+    mat = materializer or local_checkpoint_materializer
     for _ in range(rounds):
         assigned = _assign_cells(corpus, cents, id_col, vec_col)
         coords = assigned.select(
@@ -210,13 +218,12 @@ def refine_centroids(
                 F.sort_array(F.collect_list(F.struct("pos", "m"))),
                 lambda s: s["m"]).alias("__new"))
         )
-        cents = (
+        cents = mat(
             cents.join(means, "cell_id", "left")
             .select("cell_id",
                     F.coalesce("__new",
                                F.col("__cv").cast("array<double>"))
                     .alias("__cv"))
-            .localCheckpoint(eager=True)
         )
     return cents
 
@@ -231,6 +238,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    materializer=None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into cells,
     score each query only against its ``n_probe`` nearest cells.
@@ -257,7 +265,8 @@ def ivf_topk(
     )
     if lloyd_rounds > 0:
         cents = refine_centroids(corpus, cents, lloyd_rounds,
-                                 id_col=id_col, vec_col=vec_col)
+                                 id_col=id_col, vec_col=vec_col,
+                                 materializer=materializer)
     assigned = _assign_cells(corpus, cents, id_col, vec_col)
     # queries -> top-n_probe cells
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))

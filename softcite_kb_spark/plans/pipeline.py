@@ -71,10 +71,17 @@ class KGPipeline:
     STAGES = ("extract", "link", "canonicalize")
 
     def __init__(self, spark: SparkSession, store: TableStore,
-                 config: PipelineConfig | None = None) -> None:
+                 config: PipelineConfig | None = None,
+                 materializer=None) -> None:
         self.spark = spark
         self.store = store
         self.config = config or PipelineConfig()
+        # iterative-round barrier for CC (softcite_kb_spark.materialize):
+        # None = localCheckpoint (single JVM); pass a
+        # ScratchTableMaterializer for cluster fault tolerance. An
+        # execution detail, deliberately NOT part of the config
+        # fingerprint — it cannot change stage outputs.
+        self.materializer = materializer
         self._manifest_path = os.path.join(store.root, "_manifest.json")
 
     # -- manifest ---------------------------------------------------------
@@ -209,7 +216,8 @@ class KGPipeline:
         triples = self.store.read(self.spark, "triples")
         auth = self.store.read(self.spark, "authority_entities")
         canon = cz.canonical_map(linked, max_iter=self.config.cc_max_iter,
-                                 algorithm=self.config.cc_algorithm)
+                                 algorithm=self.config.cc_algorithm,
+                                 materializer=self.materializer)
         self.store.write(canon, "canonical_map")
         canon = self.store.read(self.spark, "canonical_map")
         stmts = cz.fold_statements(triples, canon, source=self.config.source_name)
