@@ -762,6 +762,19 @@ def q47_scrub_clean(spark, sf_dir):
         tx.clean_text(tx.scrub_pii(F.col("text"))).alias("clean"))
 
 
+def q50_lsh_topk_multiprobe(spark, sf_dir):
+    """Multi-probe hyperplane LSH ANN (similarity.probe_buckets): each
+    query probes its base bucket plus the buckets reached by flipping its
+    two smallest-|margin| sign bits — the recall-cliff fix over q28's
+    single probe. The oracle rebuilds margins, probe ranking (round 9
+    decimals, plane-index tiebreak), xor'd buckets, and scoring from the
+    same md5-derived plane constants."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return sim.lsh_topk(e, q, dim=64, k=5, n_planes=4, n_probe=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: stage-1 extraction + fold + A1 ranking on sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -825,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_hypertable_rollup": q45_hypertable_rollup,
         "q46_emb_near_dup_lsh": q46_emb_near_dup_lsh,
         "q47_scrub_clean": q47_scrub_clean,
+        "q50_lsh_topk_multiprobe": q50_lsh_topk_multiprobe,
     }
 
 
@@ -967,22 +981,28 @@ def _simhash_oracle_sql() -> str:
     """
 
 
+def _plane_coef_sql(p: int, c: int, seed: int = 13) -> float:
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{p}:{c}".encode()).hexdigest()[:8]
+    return (int(h, 16) / 0xFFFFFFFF) * 2.0 - 1.0
+
+
+def _plane_dot_sql(p: int, dim: int, col: str = "embedding",
+                   seed: int = 13) -> str:
+    coefs = ", ".join(repr(_plane_coef_sql(p, c, seed)) for c in range(dim))
+    return f"list_dot_product({col}::DOUBLE[], [{coefs}])"
+
+
 def _hyperplane_bucket_sql(n_planes: int = 4, dim: int = 64,
-                           seed: int = 13) -> str:
+                           seed: int = 13, col: str = "embedding") -> str:
     """The hyperplane bucket id as a SQL expression: md5-derived plane
     coefficients (similarity.hyperplane_signs) embedded as repr'd double
     literals (repr round-trips, so both engines compare the identical
     double in the sign test)."""
-    import hashlib
-
-    def coef(p: int, c: int) -> float:
-        h = hashlib.md5(f"{seed}:{p}:{c}".encode()).hexdigest()[:8]
-        return (int(h, 16) / 0xFFFFFFFF) * 2.0 - 1.0
-
     return " + ".join(
-        "CASE WHEN list_dot_product(embedding::DOUBLE[], [{coefs}]) > 0 "
-        "THEN {w} ELSE 0 END".format(
-            coefs=", ".join(repr(coef(p, c)) for c in range(dim)), w=1 << p)
+        f"CASE WHEN {_plane_dot_sql(p, dim, col, seed)} > 0 "
+        f"THEN {1 << p} ELSE 0 END"
         for p in range(n_planes))
 
 
@@ -1015,6 +1035,55 @@ def _hyperplane_oracle_sql() -> str:
     """
 
 
+def _multiprobe_oracle_sql(n_planes: int = 4, dim: int = 64,
+                           seed: int = 13, n_probe: int = 3,
+                           k: int = 5) -> str:
+    """q50: multi-probe LSH top-k in SQL. Probe set per query = base
+    bucket + xor flips of the (n_probe-1) smallest-|margin| planes,
+    margins rounded to 9 decimals with plane-index tiebreak — the exact
+    ranking similarity.probe_buckets computes."""
+    bucket = _hyperplane_bucket_sql(n_planes, dim, seed)
+    qbase = _hyperplane_bucket_sql(n_planes, dim, seed, col="qv")
+    margin_rows = " UNION ALL ".join(
+        f"SELECT query_id, qv, base, {p} AS p, {1 << p} AS w, "
+        f"round(abs({_plane_dot_sql(p, dim, 'qv', seed)}), 9) AS m FROM qm"
+        for p in range(n_planes))
+    return f"""
+        WITH b AS (
+          SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+        ), qm AS (
+          SELECT vec_id AS query_id, embedding AS qv, {qbase} AS base
+          FROM embeddings WHERE vec_id < 3
+        ), flips AS (
+          SELECT query_id, qv, base, w FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY m ASC, p ASC) AS rn
+            FROM ({margin_rows})
+          ) WHERE rn <= {n_probe - 1}
+        ), probes AS (
+          SELECT query_id, qv, base AS bucket FROM qm
+          UNION ALL
+          SELECT query_id, qv, xor(base::BIGINT, w::BIGINT) FROM flips
+        ), scored AS (
+          SELECT p.query_id, b.vec_id,
+                 round(list_dot_product(b.embedding::DOUBLE[], p.qv::DOUBLE[])
+                   / greatest(
+                       sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(p.qv::DOUBLE[],
+                                               p.qv::DOUBLE[])), 1e-12),
+                   6) AS cos
+          FROM b JOIN probes p USING (bucket)
+          WHERE b.vec_id <> p.query_id
+        ), r AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM scored
+        )
+        SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= {k}
+    """
+
+
 def _near_dup_lsh_oracle_sql() -> str:
     """q46: bucket self-join near-dup pairs from the same plane constants."""
     bucket = _hyperplane_bucket_sql()
@@ -1044,6 +1113,7 @@ def oracle_sql() -> dict[str, str]:
         "q46_emb_near_dup_lsh": _near_dup_lsh_oracle_sql(),
         "q26_simhash_near_pairs": _simhash_oracle_sql(),
         "q28_lsh_topk": _hyperplane_oracle_sql(),
+        "q50_lsh_topk_multiprobe": _multiprobe_oracle_sql(),
         # q38: ground truth reconstructed relationally (the boundary
         # lookarounds admit exactly the whole Part<k> tokens, k < 500)
         "q38_gazetteer_mentions": """

@@ -130,26 +130,129 @@ def hyperplane_signs(
     return signs(vec)
 
 
+def hyperplane_dots(
+    vec: Column, dim: int, n_planes: int = 8, seed: int = 13,
+    impl: str = "auto",
+) -> Column:
+    """Per-plane dot products as ``array<double>`` — the margins behind
+    :func:`hyperplane_signs`'s sign bits. Multi-probe LSH needs them:
+    the planes with the smallest |margin| are the ones whose sign a near
+    neighbor most plausibly lands on the other side of.
+
+    Same two kernels as ``hyperplane_signs``: literal-array expressions
+    (exactly SQL-reproducible — sequential fold, the order an oracle's
+    list_dot_product uses) under ``_EXPR_COEF_LIMIT`` coefficients, an
+    Arrow matmul above it (matmul association can move a margin by ulps —
+    fine for probing, not for an exact-equality oracle).
+    """
+    if impl == "auto":
+        impl = "expr" if n_planes * dim <= _EXPR_COEF_LIMIT else "pandas"
+    if impl == "expr":
+        v = vec.cast("array<double>")
+        return F.array(*[
+            _dot(v, F.array(*[F.lit(_plane_coef(seed, p, c))
+                              for c in range(dim)]))
+            for p in range(n_planes)])
+
+    import numpy as np
+
+    planes = np.array(
+        [[_plane_coef(seed, p, c) for c in range(dim)]
+         for p in range(n_planes)])
+
+    @F.pandas_udf("array<double>")
+    def dots(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.stack([
+            np.asarray(v, dtype=np.float64) if v is not None
+            else np.zeros(dim) for v in vs])
+        dp = mat @ planes.T
+        return pd.Series(list(dp))
+
+    return dots(vec)
+
+
+def _bucket_from_dots(dots: Column, n_planes: int) -> Column:
+    """Bucket id from a margin array: bit p set iff dots[p] > 0 —
+    bit-identical to ``hyperplane_signs`` on the same planes."""
+    b = F.lit(0).cast("long")
+    for p in range(n_planes):
+        b = b + F.when(F.element_at(dots, p + 1) > 0,
+                       F.lit(1 << p)).otherwise(F.lit(0))
+    return b
+
+
+def probe_buckets(dots: Column, n_planes: int, n_probe: int) -> Column:
+    """Multi-probe bucket list: the base bucket plus single-bit flips of
+    the ``n_probe - 1`` smallest-|margin| planes (ties by plane index).
+
+    Rationale (Lv et al., multi-probe LSH): a true neighbor that missed
+    the query's bucket most likely differs on the plane the query itself
+    barely cleared — probing those adjacent buckets recovers most of the
+    recall a single probe loses, without growing the corpus-side index.
+    Margins are rounded to 9 decimals before ranking so the probe order
+    is reproducible in a SQL oracle (double ulps can't flip it).
+    """
+    if n_probe < 1 or n_probe > n_planes + 1:
+        raise ValueError(
+            f"n_probe must be in [1, n_planes + 1 = {n_planes + 1}] "
+            f"(base bucket + at most one flip per plane), got {n_probe}")
+    base = _bucket_from_dots(dots, n_planes)
+    if n_probe == 1:
+        return F.array(base)
+    weights = F.array(*[F.lit(1 << p).cast("long") for p in range(n_planes)])
+    ranked = F.transform(
+        F.array_sort(F.transform(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda p: F.struct(
+                F.round(F.abs(F.element_at(dots, p + 1)), 9).alias("m"),
+                p.alias("p")))),
+        lambda s: s["p"])
+    flips = F.slice(ranked, 1, n_probe - 1)
+    return F.concat(
+        F.array(base),
+        F.transform(flips,
+                    lambda p: base.bitwiseXOR(F.element_at(weights, p + 1))))
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     dim: int,
     k: int = 5,
     n_planes: int = 6,
+    n_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: score only within the query's hyperplane bucket.
+    """Approximate top-k: score only within the query's hyperplane
+    bucket(s). Equi-join on bucket replaces the cross join — the 100 TB
+    path. Recall loss is the LSH trade; lower n_planes = bigger buckets =
+    higher recall.
 
-    Equi-join on bucket replaces the cross join — the 100 TB path. Recall
-    loss is the LSH trade; lower n_planes = bigger buckets = higher recall.
+    ``n_probe`` > 1 kills the single-probe recall cliff: each query also
+    probes the buckets reached by flipping its ``n_probe - 1``
+    smallest-|margin| sign bits (:func:`probe_buckets`) — the QUERY side
+    fans out (small, broadcast), the corpus index stays one bucket per
+    row. A corpus row can match a query through at most one probe
+    (buckets are distinct), so no post-join dedup is needed.
     """
     cb = corpus.withColumn(
         "bucket", hyperplane_signs(F.col(vec_col), dim, n_planes))
-    qb = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qv")
-    ).withColumn("bucket", hyperplane_signs(F.col("__qv"), dim, n_planes))
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    if n_probe == 1:
+        qb = q.withColumn(
+            "bucket", hyperplane_signs(F.col("__qv"), dim, n_planes))
+    else:
+        qb = (
+            q.withColumn("__dots",
+                         hyperplane_dots(F.col("__qv"), dim, n_planes))
+            .withColumn("bucket", F.explode(
+                probe_buckets(F.col("__dots"), n_planes, n_probe)))
+            .drop("__dots")
+        )
     scored = (
         cb.select(id_col, vec_col, "bucket")
         .join(F.broadcast(qb), "bucket")

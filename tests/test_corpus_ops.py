@@ -115,6 +115,59 @@ def test_embedding_near_dup(spark, vectors):
     assert any((p.id_a, p.id_b) == (0, 1) for p in pairs)
 
 
+def test_multiprobe_lsh_recall_floor(spark):
+    """Multi-probe flips the smallest-|margin| sign bits: on clustered
+    vectors (the data ANN is FOR — random vectors have no neighbor
+    structure to recall), n_probe=4 must clear a 0.9 recall@5 floor vs
+    brute force AND strictly beat the single-probe recall cliff.
+    Deterministic: fixed rng seed, md5 plane constants."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim, n_clusters, per = 64, 25, 10
+    centers = rng.normal(size=(n_clusters, dim))
+    rows = []
+    for c in range(n_clusters):
+        for j in range(per):
+            v = centers[c] + 0.15 * rng.normal(size=dim)
+            rows.append((c * per + j, [float(x) for x in v]))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    q = df.filter(F.col("vec_id") % per == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    truth = {(r.query_id, r.vec_id)
+             for r in similarity.brute_force_topk(df, q, k=5).collect()}
+
+    def recall(n_probe):
+        got = {(r.query_id, r.vec_id) for r in similarity.lsh_topk(
+            df, q, dim=dim, k=5, n_planes=6, n_probe=n_probe).collect()}
+        return len(got & truth) / len(truth)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= 0.9, f"multi-probe recall {r4} below floor"
+    assert r4 > r1, f"multi-probe {r4} must beat single-probe {r1}"
+
+
+def test_probe_buckets_shape_and_bounds(spark):
+    """n_probe=1 is exactly the base bucket; probes are distinct; an
+    n_probe beyond n_planes+1 (more flips than planes) is rejected."""
+    import pytest as _pytest
+
+    d = spark.createDataFrame(pd.DataFrame({
+        "v": [[0.5, -0.25, 0.125, 1.0, -1.0, 0.75, 0.3, -0.6]]}))
+    one = d.select(similarity.probe_buckets(
+        similarity.hyperplane_dots(F.col("v"), 8, 4), 4, 1).alias("p"))
+    base = d.select(similarity.hyperplane_signs(
+        F.col("v"), 8, 4).alias("b"))
+    assert one.collect()[0].p == [base.collect()[0].b]
+    four = d.select(similarity.probe_buckets(
+        similarity.hyperplane_dots(F.col("v"), 8, 4), 4, 5).alias("p")
+    ).collect()[0].p
+    assert len(four) == len(set(four)) == 5
+    with _pytest.raises(ValueError, match="n_probe"):
+        similarity.probe_buckets(F.col("v"), 4, 6)
+
+
 def test_multimodal_decode_roundtrip(spark):
     media = multimodal.synthesize_media(spark, n=30)
     decoded = multimodal.decode_media(media)
