@@ -762,6 +762,16 @@ def q47_scrub_clean(spark, sf_dir):
         tx.clean_text(tx.scrub_pii(F.col("text"))).alias("clean"))
 
 
+def q49_bmp_decode(spark, sf_dir):
+    """REAL media codec through the decode plumbing: genuine 24-bit BMP
+    payloads built from documents (multimodal.media_from_documents_bmp),
+    decoded by the real header/stride parser — width, height, byte size
+    and padding-excluded pixel checksum all recomputed relationally by
+    the oracle. This is the non-stub counterpart of q27."""
+    d = _t(spark, sf_dir, "documents")
+    return mm.decode_media(mm.media_from_documents_bmp(d))
+
+
 def q50_lsh_topk_multiprobe(spark, sf_dir):
     """Multi-probe hyperplane LSH ANN (similarity.probe_buckets): each
     query probes its base bucket plus the buckets reached by flipping its
@@ -838,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_hypertable_rollup": q45_hypertable_rollup,
         "q46_emb_near_dup_lsh": q46_emb_near_dup_lsh,
         "q47_scrub_clean": q47_scrub_clean,
+        "q49_bmp_decode": q49_bmp_decode,
         "q50_lsh_topk_multiprobe": q50_lsh_topk_multiprobe,
     }
 
@@ -1114,6 +1125,22 @@ def oracle_sql() -> dict[str, str]:
         "q26_simhash_near_pairs": _simhash_oracle_sql(),
         "q28_lsh_topk": _hyperplane_oracle_sql(),
         "q50_lsh_topk_multiprobe": _multiprobe_oracle_sql(),
+        # q49: the REAL BMP decoder vs a relational reconstruction — the
+        # fixture's dims/pixel value are modular functions of doc_id and
+        # the image is uniform, so checksum = 3*w*h*v and n_bytes =
+        # header + h * 4-byte-aligned stride, both exact in SQL
+        "q49_bmp_decode": """
+            SELECT doc_id::BIGINT AS media_id,
+                   'image' AS kind,
+                   (1 + doc_id % 13)::INT AS width,
+                   (1 + (doc_id * 3) % 11)::INT AS height,
+                   (54 + (1 + (doc_id * 3) % 11)
+                       * ((3 * (1 + doc_id % 13) + 3) // 4 * 4))::BIGINT
+                     AS n_bytes,
+                   ((3 * (1 + doc_id % 13) * (1 + (doc_id * 3) % 11)
+                       * (doc_id % 251)) % 2147483648)::BIGINT AS checksum
+            FROM documents
+        """,
         # q38: ground truth reconstructed relationally (the boundary
         # lookarounds admit exactly the whole Part<k> tokens, k < 500)
         "q38_gazetteer_mentions": """

@@ -2,15 +2,25 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` stages. The actual codecs are NOT available
-in this container, so the decode kernels are deterministic stubs behind
-``_decode_bytes`` (clearly marked), while everything Spark-side — schema,
-batching, partitioning, UDF signatures — is real and tested.
+Arrow-batched ``mapInPandas`` stages. ``_decode_bytes`` dispatches on the
+payload magic:
 
-Payload wire format for the synthetic fixtures: 16-byte header
-``SKBM`` + kind byte + 3 reserved + width uint32 + height uint32, then
-payload bytes. The "decoder" parses the header (what a real libjpeg/ffmpeg
-binding would do with the full payload).
+  * **BMP** (uncompressed 24-bit BI_RGB) — a REAL decoder: file + info
+    header parse, bottom-up/top-down row order, 4-byte row-stride
+    padding excluded from the pixel checksum; ``resize_media`` runs a
+    real nearest-neighbor resample over the decoded pixel matrix
+    (``struct`` + numpy only — no PIL needed for this format).
+  * **WAV** (RIFF PCM) — a REAL decoder: chunk walk to ``fmt `` +
+    ``data``, frames = data bytes / block align; width/height carry
+    (n_frames, n_channels) for audio.
+  * **SKBM** — the synthetic stub format for kinds whose codecs are NOT
+    in this container (JPEG/PNG/MP4 need libjpeg/ffmpeg): 16-byte header
+    ``SKBM`` + kind byte + 3 reserved + width uint32 + height uint32 +
+    body. Header parse only — clearly a stand-in, kept so the video
+    frame-sample plumbing stays exercised.
+
+Everything Spark-side — schema, batching, partitioning, UDF signatures,
+poison-payload tolerance — is identical across real and stub formats.
 """
 
 from __future__ import annotations
@@ -98,13 +108,145 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         build, schema=MEDIA_SCHEMA)
 
 
-def _decode_bytes(payload: bytes) -> tuple[str, int, int, int]:
-    """STUB DECODER — deterministic header parse standing in for a real
-    codec (PIL/ffmpeg are not installed in this container). Returns
-    (kind, width, height, checksum). Raises on malformed payloads exactly
-    like a real decoder would."""
-    if payload is None or len(payload) < 16 or payload[:4] != MAGIC:
-        raise ValueError("not a SKBM payload")
+def media_from_documents_bmp(docs: DataFrame) -> DataFrame:
+    """REAL-format media fixtures: each doc becomes a genuine 24-bit
+    bottom-up BMP whose dimensions and (uniform) pixel value are modular
+    functions of doc_id — every field the decoder emits is
+    reconstructible relationally, so a SQL oracle value-checks the real
+    BMP decode path (header parse, stride, padding-excluded checksum),
+    not a stub:
+
+        w = 1 + doc_id % 13;  h = 1 + (doc_id * 3) % 11;  v = doc_id % 251
+        checksum = 3*w*h*v mod 2^31
+        n_bytes  = 54 + h * ((3*w + 3) // 4 * 4)
+    """
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 1 + did % 13
+                h = 1 + (did * 3) % 11
+                v = did % 251
+                px = np.full((h, w, 3), v, dtype=np.uint8)
+                rows["media_id"].append(did)
+                rows["kind"].append("image")
+                rows["payload"].append(encode_bmp(px))
+                rows["meta"].append(
+                    {"declared_width": w, "declared_height": h})
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
+def encode_bmp(pixels) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB-ish array as an uncompressed 24-bit
+    bottom-up BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, rows padded to a
+    4-byte stride) — the fixture/test encoder for the real decoder."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = (3 * w + 3) // 4 * 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = px[y].tobytes()
+        body += row + b"\x00" * (stride - len(row))
+    file_size = 54 + len(body)
+    header = (b"BM" + struct.pack("<IHHI", file_size, 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(body), 2835, 2835, 0, 0))
+    return bytes(header + body)
+
+
+def _decode_bmp(payload: bytes) -> tuple[str, int, int, int]:
+    """Real BMP decode (metadata + pixel checksum): uncompressed 24-bit
+    BI_RGB only — the subset decodable with ``struct`` alone. The
+    checksum sums PIXEL bytes only; row padding is excluded, so it is
+    identical for any stride."""
+    px = _decode_bmp_pixels(payload)
+    h, w = px.shape[0], px.shape[1]
+    return "image", w, h, int(px.sum(dtype="int64")) % (2**31)
+
+
+def _decode_bmp_pixels(payload: bytes):
+    """(h, w, 3) uint8 pixel matrix in top-down row order."""
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("truncated or non-BMP header")
+    file_size, _r1, _r2, offset = struct.unpack("<IHHI", payload[2:14])
+    hdr_size, w, h = struct.unpack("<Iii", payload[14:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if hdr_size < 40 or planes != 1:
+        raise ValueError("unsupported BMP header")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0 or w > 2**15 or h > 2**15:
+        raise ValueError(f"BMP dimensions out of range: {w}x{h}")
+    stride = (3 * w + 3) // 4 * 4
+    if offset + stride * h > len(payload):
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=offset
+    ).reshape(h, stride)[:, : 3 * w]
+    if not top_down:
+        rows = rows[::-1]
+    return rows.reshape(h, w, 3)
+
+
+def encode_wav(frames: bytes, n_channels: int = 1, sample_rate: int = 8000,
+               bits: int = 16) -> bytes:
+    """Encode raw PCM sample bytes as a canonical RIFF/WAVE file."""
+    block_align = n_channels * bits // 8
+    byte_rate = sample_rate * block_align
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate,
+                      block_align, bits)
+    data = frames + (b"\x00" if len(frames) % 2 else b"")
+    riff_body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                 + b"data" + struct.pack("<I", len(frames)) + data)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _decode_wav(payload: bytes) -> tuple[str, int, int, int]:
+    """Real RIFF/WAVE decode: chunk walk (even-aligned sizes) to the
+    ``fmt `` and ``data`` chunks; PCM (format 1) only. Maps to the shared
+    decoded schema as (width=n_frames, height=n_channels); checksum sums
+    the data-chunk bytes."""
+    if len(payload) < 12 or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        csz = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        if pos + 8 + csz > len(payload):
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            if csz < 16:
+                raise ValueError("short fmt chunk")
+            fmt = struct.unpack("<HHIIHH", payload[pos + 8:pos + 24])
+        elif cid == b"data":
+            data = payload[pos + 8:pos + 8 + csz]
+        pos += 8 + csz + (csz & 1)  # chunks are even-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, _rate, _brate, block_align, _bits = fmt
+    if audio_format != 1 or block_align <= 0:
+        raise ValueError(f"unsupported WAV format {audio_format}")
+    n_frames = len(data) // block_align
+    if n_frames >= 2**31 or n_channels >= 2**31:
+        raise ValueError("WAV dimensions out of int32 range")
+    return "audio", n_frames, n_channels, sum(data) % (2**31)
+
+
+def _decode_skbm(payload: bytes) -> tuple[str, int, int, int]:
+    """STUB header parse for the synthetic SKBM format (stands in for
+    codecs not installed here — JPEG/PNG/MP4)."""
     kind = KINDS.get(payload[4])
     if kind is None:
         raise ValueError(f"unknown kind byte {payload[4]}")
@@ -114,8 +256,22 @@ def _decode_bytes(payload: bytes) -> tuple[str, int, int, int]:
     # reject it here so it takes the malformed-payload path instead
     if w >= 2**31 or h >= 2**31:
         raise ValueError(f"dimension out of int32 range: {w}x{h}")
-    checksum = sum(payload[16:]) % (2**31)
-    return kind, w, h, checksum
+    return kind, w, h, sum(payload[16:]) % (2**31)
+
+
+def _decode_bytes(payload: bytes) -> tuple[str, int, int, int]:
+    """Magic-dispatched decode. Returns (kind, width, height, checksum);
+    raises on malformed payloads exactly like a real codec binding —
+    decode_media turns that into drop-or-NULL, never a dead stage."""
+    if payload is None or len(payload) < 16:
+        raise ValueError("payload too short")
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:4] == b"RIFF":
+        return _decode_wav(payload)
+    if payload[:4] == MAGIC:
+        return _decode_skbm(payload)
+    raise ValueError("unknown payload magic")
 
 
 def decode_media(df: DataFrame, drop_malformed: bool = True) -> DataFrame:
@@ -157,17 +313,52 @@ def decode_media(df: DataFrame, drop_malformed: bool = True) -> DataFrame:
 RESIZED_SCHEMA = T.StructType(DECODED_SCHEMA.fields + [
     T.StructField("target_width", T.IntegerType()),
     T.StructField("target_height", T.IntegerType()),
+    T.StructField("resized_checksum", T.LongType()),
 ])
 
 
 def resize_media(df: DataFrame, target: tuple[int, int] = (32, 32)) -> DataFrame:
-    """Resize plumbing: decode + attach target dims. The pixel resample is
-    the stubbed part (no PIL here) — a real kernel replaces the body of the
-    lambda; partitioning/batching stays identical."""
+    """Decode + resample to ``target``: for BMP payloads this is a REAL
+    nearest-neighbor resample over the decoded pixel matrix (numpy index
+    maps, vectorized per image); ``resized_checksum`` sums the resampled
+    pixel bytes. Formats without an in-container pixel codec (SKBM stub
+    kinds, WAV audio) decode but carry a NULL resized_checksum. Malformed
+    payloads are dropped — same poison tolerance as decode_media."""
+    import numpy as np
+
     tw, th = target
-    decoded = decode_media(df)
-    return decoded.withColumn("target_width", F.lit(tw)) \
-                  .withColumn("target_height", F.lit(th))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "width": [], "height": [],
+                   "n_bytes": [], "checksum": [], "target_width": [],
+                   "target_height": [], "resized_checksum": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    b = bytes(payload) if payload is not None else None
+                    kind, w, h, cs = _decode_bytes(b)
+                except (ValueError, TypeError):
+                    continue
+                rcs = None
+                if b[:2] == b"BM":
+                    px = _decode_bmp_pixels(b)
+                    yi = (np.arange(th) * h) // th
+                    xi = (np.arange(tw) * w) // tw
+                    res = px[yi][:, xi]
+                    rcs = int(res.sum(dtype="int64")) % (2**31)
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_bytes"].append(len(b))
+                out["checksum"].append(cs)
+                out["target_width"].append(tw)
+                out["target_height"].append(th)
+                out["resized_checksum"].append(rcs)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(
+        kernel, schema=RESIZED_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:

@@ -182,6 +182,113 @@ def test_multimodal_decode_roundtrip(spark):
         assert r.height == r.meta.declared_height
 
 
+def _media_df(spark, rows):
+    pdf = pd.DataFrame(
+        [(i, k, bytearray(p), {"declared_width": 0, "declared_height": 0})
+         for i, (k, p) in enumerate(rows)],
+        columns=["media_id", "kind", "payload", "meta"])
+    return spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+
+
+def test_bmp_real_decode_gradient(spark):
+    """The REAL BMP path: a non-uniform gradient image round-trips
+    through encode -> distributed decode with the exact pixel checksum,
+    on a width whose row stride needs padding (the padding bytes must
+    NOT leak into the checksum)."""
+    import numpy as np
+
+    w, h = 5, 4                       # stride 16, 1 pad byte per row
+    px = (np.arange(h * w * 3, dtype=np.uint32) * 7 % 256).astype(np.uint8)
+    px = px.reshape(h, w, 3)
+    payload = multimodal.encode_bmp(px)
+    assert (3 * w) % 4 != 0           # the stride really is padded
+    df = _media_df(spark, [("image", payload)])
+    r = multimodal.decode_media(df).collect()[0]
+    assert (r.kind, r.width, r.height) == ("image", w, h)
+    assert r.checksum == int(px.sum(dtype="int64")) % (2**31)
+    assert r.n_bytes == len(payload) == 54 + h * 16
+
+
+def test_bmp_top_down_rows(spark):
+    """Negative header height = top-down row order; the decoded pixel
+    matrix must match the original exactly either way."""
+    import struct as st
+
+    import numpy as np
+
+    w, h = 3, 2
+    px = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+    bottom_up = multimodal.encode_bmp(px)
+    assert (multimodal._decode_bmp_pixels(bottom_up) == px).all()
+    # craft the top-down variant: height := -h, rows in natural order
+    stride = (3 * w + 3) // 4 * 4
+    body = b"".join(px[y].tobytes() + b"\x00" * (stride - 3 * w)
+                    for y in range(h))
+    top_down = (bottom_up[:22] + st.pack("<i", -h) + bottom_up[26:54] + body)
+    assert (multimodal._decode_bmp_pixels(top_down) == px).all()
+
+
+def test_wav_real_decode(spark):
+    """The REAL WAV path: PCM frames round-trip with frame/channel
+    counts and data-chunk checksum; an odd-sized data chunk is
+    even-aligned without corrupting the checksum."""
+    frames = bytes(range(200)) * 2      # 400 bytes, 2ch 16-bit -> 100 frames
+    payload = multimodal.encode_wav(frames, n_channels=2,
+                                    sample_rate=16000, bits=16)
+    df = _media_df(spark, [("audio", payload)])
+    r = multimodal.decode_media(df).collect()[0]
+    assert (r.kind, r.width, r.height) == ("audio", 100, 2)
+    assert r.checksum == sum(frames) % (2**31)
+    # odd data chunk (1 sample byte short of alignment)
+    odd = multimodal.encode_wav(b"\x01\x02\x03", n_channels=1,
+                                sample_rate=8000, bits=8)
+    r2 = multimodal.decode_media(_media_df(spark, [("audio", odd)])) \
+        .collect()[0]
+    assert (r2.width, r2.height, r2.checksum) == (3, 1, 6)
+
+
+def test_mixed_format_batch_and_malformed(spark):
+    """BMP + WAV + SKBM + poison payloads decode in ONE batch — magic
+    dispatch never kills the stage."""
+    import numpy as np
+
+    bmp = multimodal.encode_bmp(np.full((2, 2, 3), 9, dtype=np.uint8))
+    wav = multimodal.encode_wav(b"\x01\x02", n_channels=1, bits=8)
+    skbm = (multimodal.MAGIC + bytes([0, 0, 0, 0])
+            + __import__("struct").pack("<II", 4, 5) + b"xy")
+    df = _media_df(spark, [
+        ("image", bmp), ("audio", wav), ("image", skbm),
+        ("image", b"BM" + b"\x00" * 20),            # truncated BMP
+        ("audio", b"RIFF\x04\x00\x00\x00WAVE"),     # WAV without chunks
+    ])
+    got = {r.media_id: r for r in multimodal.decode_media(df).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[0].checksum == 2 * 2 * 3 * 9
+    assert got[1].width == 2 and got[2].width == 4
+
+
+def test_resize_media_real_nearest_neighbor(spark):
+    """resize_media runs a genuine resample for BMP: the checksum of the
+    resized pixels equals the numpy nearest-neighbor reference; stub
+    formats keep NULL resized_checksum."""
+    import numpy as np
+
+    w, h, tw, th = 7, 5, 4, 4
+    px = (np.arange(h * w * 3, dtype=np.uint32) * 13 % 256).astype(np.uint8)
+    px = px.reshape(h, w, 3)
+    skbm = (multimodal.MAGIC + bytes([0, 0, 0, 0])
+            + __import__("struct").pack("<II", 3, 3) + b"zz")
+    df = _media_df(spark, [("image", multimodal.encode_bmp(px)),
+                           ("image", skbm)])
+    got = {r.media_id: r for r in
+           multimodal.resize_media(df, target=(tw, th)).collect()}
+    yi, xi = (np.arange(th) * h) // th, (np.arange(tw) * w) // tw
+    expect = int(px[yi][:, xi].sum(dtype="int64")) % (2**31)
+    assert got[0].resized_checksum == expect
+    assert got[0].target_width == tw and got[0].target_height == th
+    assert got[1].resized_checksum is None       # stub format: no pixels
+
+
 def test_multimodal_malformed_dropped(spark):
     media = multimodal.synthesize_media(spark, n=6)
     bad = media.withColumn(
