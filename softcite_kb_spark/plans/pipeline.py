@@ -141,12 +141,19 @@ class KGPipeline:
         ``run_ts`` stamps each commit so readers take the latest rows per
         (stage, table) — see :func:`read_metrics`.
         """
+        snap = self.store.current_snapshot(table)
+        sp = (snap.properties or {}) if snap else {}
+        # how the table's current snapshot was committed — "pruned" vs
+        # "full-rewrite" merges matter operationally at scale (a silent
+        # full-rewrite merge is the 100 TB failure mode to monitor for)
+        commit_mode = sp.get("merge_mode") or sp.get("operation") or "write"
         part = (
             df.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").cast("long").alias("n_rows"))
             .withColumn("stage", F.lit(stage))
             .withColumn("table", F.lit(table))
             .withColumn("config", F.lit(self.config.fingerprint()))
+            .withColumn("commit_mode", F.lit(commit_mode))
             .withColumn("run_ts", F.lit(time.time()))
         )
         self.store.append(part, "_metrics")

@@ -43,6 +43,10 @@ class Snapshot:
 class TableStore:
     """A namespace of snapshot-versioned parquet tables."""
 
+    # widest OR-of-AND partition prune filter merge() will build before
+    # falling back to a full rewrite (expression-tree width, not data)
+    _MAX_PRUNED_PARTITIONS = 1024
+
     def __init__(self, root: str) -> None:
         self.root = root
         os.makedirs(root, exist_ok=True)
@@ -135,14 +139,20 @@ class TableStore:
         transactional — the merge is one new snapshot, resumable like any
         stage output. First merge into an empty table = plain write.
 
-        Partition pruning (Iceberg ``MERGE INTO`` cost model): when the
-        table was written with a single partition column that is part of
-        the merge key, only partitions containing incoming keys are
-        rewritten; every untouched partition's files are HARDLINKED into
-        the new snapshot directory (the file-reuse a real Iceberg manifest
-        gives you — snapshot expiry just drops link counts). An unaligned
-        or unpartitioned table falls back to the full rewrite; the chosen
-        path is recorded in snapshot properties as ``merge_mode``.
+        Partition pruning (Iceberg ``MERGE INTO`` cost model): when every
+        partition column (one OR several — nested partition directories)
+        is part of the merge key, only partitions containing incoming
+        keys are rewritten; every untouched leaf partition's files are
+        HARDLINKED into the new snapshot directory (the file-reuse a real
+        Iceberg manifest gives you — snapshot expiry just drops link
+        counts). An unaligned or unpartitioned table falls back to the
+        full rewrite — as does a batch touching more than
+        ``_MAX_PRUNED_PARTITIONS`` distinct partitions (the prune filter
+        is an OR-of-AND literal expression; past that width a full scan
+        is cheaper than the plan) — and the chosen path is recorded in
+        snapshot properties as ``merge_mode`` (+ ``merge_fallback_reason``
+        when a partitioned table fell back anyway: at scale a silent
+        full-rewrite merge is the failure mode to monitor for).
         """
         if not self.exists(table):
             return self.write(df, table, properties)
@@ -152,59 +162,82 @@ class TableStore:
 
         snap = self.current_snapshot(table)
         part_by = (snap.properties or {}).get("partition_by") or []
-        prunable = (
-            len(part_by) == 1
-            and part_by[0] in key_cols
-            and part_by[0] in df.columns
+        fallback_reason = None
+        if not part_by:
+            prunable = False
+        elif not all(c in key_cols and c in df.columns for c in part_by):
+            prunable = False
+            fallback_reason = "partition columns not all in merge key"
+        elif not self._types_match(snap, df):
             # pruned commits hardlink OLD files: the incoming types must
             # match the table schema for every shared column, or the new
             # pinned reader schema would misread the carried-over files
-            and self._types_match(snap, df)
-        )
+            prunable = False
+            fallback_reason = "incoming schema differs from table schema"
+        else:
+            prunable = True
         affected: list = []
         if prunable:
-            pcol = part_by[0]
-            affected = [r[0] for r in df.select(pcol).distinct().collect()]
-            # a NULL partition value defeats both the isin() prune (NULL
+            affected = [tuple(r) for r in
+                        df.select(*part_by).distinct().collect()]
+            # a NULL partition value defeats both the equality prune (NULL
             # comparison -> NULL -> old NULL-partition rows silently
             # dropped) and the __HIVE_DEFAULT_PARTITION__ directory carry-
             # over — take the safe full rewrite instead (derived from the
             # same collect, no extra evaluation of df)
-            if any(a is None for a in affected):
+            if any(v is None for t in affected for v in t):
                 prunable = False
+                fallback_reason = "NULL partition value in incoming batch"
+            elif len(affected) > self._MAX_PRUNED_PARTITIONS:
+                prunable = False
+                fallback_reason = (
+                    f"{len(affected)} affected partitions exceeds "
+                    f"prune limit {self._MAX_PRUNED_PARTITIONS}")
         if not prunable:
             current = self.read(df.sparkSession, table)
             kept = self._anti_by_keys(current, df, key_cols)
             merged = kept.unionByName(df)
             props["merge_mode"] = "full-rewrite"
+            if fallback_reason:
+                props["merge_fallback_reason"] = fallback_reason
             return self.write(merged, table, props,
                               partition_by=part_by or None)
 
-        pcol = part_by[0]
         # partition filter reaches the parquet scan: only affected
-        # partitions are read (pushdown prunes the rest)
-        current_affected = self.read(df.sparkSession, table).filter(
-            F.col(pcol).isin(affected))
+        # partitions are read (OR of per-tuple AND equalities — pushes
+        # down as partition pruning for single AND multi column layouts)
+        cond = None
+        for t in affected:
+            c = None
+            for col, v in zip(part_by, t):
+                eq = F.col(col) == F.lit(v)
+                c = eq if c is None else (c & eq)
+            cond = c if cond is None else (cond | c)
+        current_affected = self.read(df.sparkSession, table).filter(cond)
         kept = self._anti_by_keys(current_affected, df, key_cols)
         merged_affected = kept.unionByName(df)
 
         meta = self._load_meta(table)
         sid = (meta["current"] or 0) + 1
         data_dir = os.path.join(self.root, table, f"snap-{sid:05d}")
-        merged_affected.write.mode("overwrite").partitionBy(pcol) \
+        merged_affected.write.mode("overwrite").partitionBy(*part_by) \
             .parquet(data_dir)
-        # carry over every untouched partition by hardlink (byte-identical,
-        # zero copy); the affected ones were just written above
-        written = set(os.listdir(data_dir))
-        for entry in os.listdir(snap.path):
-            if entry.startswith(f"{pcol}=") and entry not in written:
-                self._link_tree(os.path.join(snap.path, entry),
-                                os.path.join(data_dir, entry))
+        # carry over every untouched LEAF partition by hardlink (byte-
+        # identical, zero copy); the affected ones were just written above.
+        # Comparison is on relative leaf paths — exactly what the new
+        # write produced vs what the old snapshot had, so value-encoding
+        # questions (escaping, type rendering) cancel out.
+        written = set(self._partition_leaf_dirs(data_dir, part_by))
+        for rel in self._partition_leaf_dirs(snap.path, part_by):
+            if rel not in written:
+                self._link_tree(os.path.join(snap.path, rel),
+                                os.path.join(data_dir, rel))
 
         props["merge_mode"] = "pruned"
         props["partition_by"] = part_by
         props["schema_json"] = merged_affected.schema.json()
-        props["rewritten_partitions"] = sorted(str(a) for a in affected)
+        props["rewritten_partitions"] = sorted(
+            "/".join(str(v) for v in t) for t in affected)
         new_snap = Snapshot(
             snapshot_id=sid,
             table=table,
@@ -321,6 +354,25 @@ class TableStore:
             c = F.col(f"__cur.{k}").eqNullSafe(F.col(f"__inc.{k}"))
             cond = c if cond is None else (cond & c)
         return cur.join(inc, cond, "left_anti")
+
+    @staticmethod
+    def _partition_leaf_dirs(root: str, part_by: list[str]) -> list[str]:
+        """Relative paths of LEAF partition directories (depth ==
+        len(part_by), each level named ``<col>=``) under a snapshot dir."""
+        out: list[str] = []
+
+        def walk(cur: str, depth: int) -> None:
+            prefix = f"{part_by[depth]}="
+            for entry in sorted(os.listdir(cur)):
+                p = os.path.join(cur, entry)
+                if os.path.isdir(p) and entry.startswith(prefix):
+                    if depth == len(part_by) - 1:
+                        out.append(os.path.relpath(p, root))
+                    else:
+                        walk(p, depth + 1)
+
+        walk(root, 0)
+        return out
 
     @staticmethod
     def _link_tree(src: str, dst: str, suffix: str | None = None) -> None:

@@ -83,6 +83,10 @@ def test_metrics_lineage_rows(spark, store):
     assert stages == {"extract", "link", "canonicalize"}
     assert m.filter(F.col("n_rows") < 0).count() == 0
     assert m.filter(F.col("partition_id").isNull()).count() == 0
+    # commit mode surfaced per table (merge_mode when the commit was a
+    # merge — the scale-monitoring signal for silent full-rewrite merges)
+    modes = {r.commit_mode for r in m.select("commit_mode").distinct().collect()}
+    assert modes == {"write"}  # plain runs commit via write()
 
 
 def test_config_change_invalidates(spark, store):

@@ -166,3 +166,63 @@ def test_merge_type_mismatch_falls_back_to_full_rewrite(spark, tmp_path):
     assert snap.properties["merge_mode"] == "full-rewrite"
     rows = {(r.bucket, r.k): r.v for r in st.read(spark, "t").collect()}
     assert rows[("a", 1)] == 9.0 and rows[("b", 2)] == 2.5
+
+
+def test_merge_two_column_partition_pruning(spark, tmp_path):
+    """Multi-column partition layouts prune too: a merge keyed on both
+    partition columns rewrites ONLY the touched (day, region) leaves —
+    untouched leaf files carry over by hardlink (inode identity), and
+    the fallback reason is absent."""
+    import os
+
+    st = TableStore(str(tmp_path / "kb"))
+    base = spark.createDataFrame(pd.DataFrame({
+        "day": ["d1"] * 4 + ["d2"] * 4,
+        "region": ["eu", "eu", "us", "us"] * 2,
+        "k": list(range(8)),
+        "v": [f"v{i}" for i in range(8)],
+    }))
+    snap1 = st.write(base, "t", partition_by=["day", "region"])
+
+    def pfiles(path, day, region):
+        d = os.path.join(path, f"day={day}", f"region={region}")
+        return sorted(os.path.join(d, f) for f in os.listdir(d)
+                      if f.endswith(".parquet"))
+
+    before = {(d, r): [(p, os.stat(p).st_ino)
+                       for p in pfiles(snap1.path, d, r)]
+              for d, r in (("d1", "us"), ("d2", "eu"), ("d2", "us"))}
+
+    upd = spark.createDataFrame(pd.DataFrame({
+        "day": ["d1", "d1"], "region": ["eu", "eu"],
+        "k": [0, 100], "v": ["patched", "new"],
+    }))
+    snap2 = st.merge(upd, "t", key_cols=["day", "region", "k"])
+    assert snap2.properties["merge_mode"] == "pruned"
+    assert snap2.properties["rewritten_partitions"] == ["d1/eu"]
+    assert "merge_fallback_reason" not in snap2.properties
+
+    rows = {(r.day, r.region, r.k): r.v for r in st.read(spark, "t").collect()}
+    assert rows[("d1", "eu", 0)] == "patched"
+    assert rows[("d1", "eu", 100)] == "new"
+    assert rows[("d2", "us", 7)] == "v7" and len(rows) == 9
+
+    # every untouched leaf: identical inodes (hardlink, no rewrite/copy)
+    for (d, r), files in before.items():
+        for p, ino in files:
+            assert os.stat(p.replace(snap1.path, snap2.path)).st_ino == ino
+
+
+def test_merge_fallback_reason_recorded(spark, tmp_path):
+    """A partitioned table that falls back to full rewrite must say WHY
+    in snapshot properties — at scale a silent full-rewrite merge is the
+    thing to monitor for."""
+    st = TableStore(str(tmp_path / "kb"))
+    base = spark.createDataFrame(pd.DataFrame({
+        "day": ["d1", "d2"], "k": [1, 2], "v": ["a", "b"]}))
+    st.write(base, "t", partition_by=["day"])
+    upd = spark.createDataFrame(pd.DataFrame(
+        {"day": ["d1"], "k": [1], "v": ["p"]}))
+    snap = st.merge(upd, "t", key_cols=["k"])  # day not in merge key
+    assert snap.properties["merge_mode"] == "full-rewrite"
+    assert "not all in merge key" in snap.properties["merge_fallback_reason"]
