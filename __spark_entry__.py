@@ -762,6 +762,27 @@ def q47_scrub_clean(spark, sf_dir):
         tx.clean_text(tx.scrub_pii(F.col("text"))).alias("clean"))
 
 
+def q48_gazetteer_token_join(spark, sf_dir):
+    """The 10^6-surface gazetteer SCALE path (extraction.
+    extract_mentions_token_join): dictionary stays a distributed
+    DataFrame, turns explode into unigram/bigram candidates matched by
+    equi-join — value-checked against the SAME relational ground truth
+    as q38's regex path (the fixture's surfaces are non-overlapping, so
+    the two paths agree exactly)."""
+    from softcite_kb_spark.operators.extraction import (
+        extract_mentions_token_join)
+    t = _synthetic_transcripts(spark, sf_dir).filter(
+        F.col("conv_id").cast("long") < 3000)
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    auth = p.select(
+        F.concat(F.lit("Part"), F.col("p_partkey")).alias("label"),
+        F.concat(F.lit("Q"), F.col("p_partkey")).alias("entity_id"),
+        F.array().cast("array<string>").alias("aliases"),
+        F.lit("part").alias("entity_type"),
+    )
+    return extract_mentions_token_join(t, auth)
+
+
 def q49_bmp_decode(spark, sf_dir):
     """REAL media codec through the decode plumbing: genuine 24-bit BMP
     payloads built from documents (multimodal.media_from_documents_bmp),
@@ -848,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_hypertable_rollup": q45_hypertable_rollup,
         "q46_emb_near_dup_lsh": q46_emb_near_dup_lsh,
         "q47_scrub_clean": q47_scrub_clean,
+        "q48_gazetteer_token_join": q48_gazetteer_token_join,
         "q49_bmp_decode": q49_bmp_decode,
         "q50_lsh_topk_multiprobe": q50_lsh_topk_multiprobe,
     }
@@ -1144,6 +1166,16 @@ def oracle_sql() -> dict[str, str]:
         # q38: ground truth reconstructed relationally (the boundary
         # lookarounds admit exactly the whole Part<k> tokens, k < 500)
         "q38_gazetteer_mentions": """
+            SELECT l_orderkey::VARCHAR AS conv_id, l_linenumber AS turn_idx,
+                   'Part' || l_partkey AS surface
+            FROM lineitem WHERE l_orderkey < 3000 AND l_partkey < 500
+            UNION ALL
+            SELECT l_orderkey::VARCHAR, l_linenumber, 'Part' || l_suppkey
+            FROM lineitem WHERE l_orderkey < 3000 AND l_suppkey < 500
+        """,
+        # q48: the token-join SCALE path against the SAME ground truth as
+        # q38 (non-overlapping gazetteer -> paths agree exactly)
+        "q48_gazetteer_token_join": """
             SELECT l_orderkey::VARCHAR AS conv_id, l_linenumber AS turn_idx,
                    'Part' || l_partkey AS surface
             FROM lineitem WHERE l_orderkey < 3000 AND l_partkey < 500
