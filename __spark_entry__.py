@@ -806,6 +806,17 @@ def q50_lsh_topk_multiprobe(spark, sf_dir):
     return sim.lsh_topk(e, q, dim=64, k=5, n_planes=4, n_probe=3)
 
 
+def q51_search_tfidf(spark, sf_dir):
+    """TF-IDF ranked full-text search (kb/indexing.rank_tfidf): OR-match
+    over lowercase alphanumeric tokens, smoothed idf, deterministic
+    tiebreaks — the native relevance-scoring counterpart of q37's flatten
+    and q41's facets (BM25 parity with ES is explicitly out of scope)."""
+    from softcite_kb_spark.kb.indexing import rank_tfidf
+    d = _t(spark, sf_dir, "documents")
+    return rank_tfidf(d, "spark window merge", k=15,
+                      id_col="doc_id", text_col="text")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: stage-1 extraction + fold + A1 ranking on sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -872,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_gazetteer_token_join": q48_gazetteer_token_join,
         "q49_bmp_decode": q49_bmp_decode,
         "q50_lsh_topk_multiprobe": q50_lsh_topk_multiprobe,
+        "q51_search_tfidf": q51_search_tfidf,
     }
 
 
@@ -1309,6 +1321,36 @@ def oracle_sql() -> dict[str, str]:
                        '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
                      '\s+', ' ', 'g')) AS clean
             FROM dirty
+        """,
+        # q51: tf-idf ranked search — identical tokenization, smoothed
+        # idf, and tiebreaks in SQL (rank-15 boundary pinned by doc_id)
+        "q51_search_tfidf": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '')) AS term
+              FROM documents
+            ), hits AS (
+              SELECT doc_id, term FROM toks
+              WHERE term IN ('merge', 'spark', 'window')
+            ), tf AS (
+              SELECT doc_id, term, count(*)::DOUBLE AS tf
+              FROM hits GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+              FROM hits GROUP BY 1
+            ), n AS (
+              SELECT count(*)::DOUBLE AS n FROM documents
+            ), idf AS (
+              SELECT term, ln((n.n + 1.0) / (df + 1.0)) + 1.0 AS idf
+              FROM dfreq, n
+            ), scored AS (
+              SELECT doc_id, round(sum(tf * idf), 6) AS score
+              FROM tf JOIN idf USING (term) GROUP BY 1
+            )
+            SELECT doc_id, score FROM scored
+            ORDER BY score DESC, doc_id ASC LIMIT 15
         """,
         # q41: facets — per-column top-k buckets; array column unnested
         "q41_search_facets": """

@@ -15,6 +15,8 @@ skew-bounded but deterministic, not silent truncation.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -116,7 +118,8 @@ def facets(flat: DataFrame, cols: list[str], k: int = 20) -> DataFrame:
 def search(flat: DataFrame, query: str, k: int = 10) -> DataFrame:
     """Minimal full-text search over the feed: token-AND match on ``all``
     ranked by n_mentions (the reference delegates this to ES; this is the
-    native fallback so the API surface is complete without a sidecar)."""
+    native fallback so the API surface is complete without a sidecar).
+    For relevance-ranked results use :func:`rank_tfidf`."""
     cond = F.lit(True)
     for tok in query.lower().split():
         cond = cond & F.lower(F.col("all")).contains(tok)
@@ -125,3 +128,48 @@ def search(flat: DataFrame, query: str, k: int = 10) -> DataFrame:
         .orderBy(F.desc("n_mentions"), F.asc("canonical_id"))
         .limit(k)
     )
+
+
+def rank_tfidf(df: DataFrame, query: str, k: int = 10,
+               id_col: str = "canonical_id",
+               text_col: str = "all") -> DataFrame:
+    """TF-IDF ranked full-text search — the native scoring stand-in for
+    the reference's BM25 delegation to ElasticSearch
+    (indexing/kb_es_indexing.py:99-115; scoring PARITY with ES is
+    explicitly not claimed — this is deterministic tf-idf, engine- and
+    oracle-reproducible).
+
+    Model: lowercase alphanumeric tokens; OR-match (a doc scores if it
+    contains ANY query term); smoothed idf = ln((N+1)/(df+1)) + 1;
+    score = sum over distinct query terms of tf * idf, rounded to 6
+    decimals; ties break on id. Plan shape: one explode + two partial
+    aggregations (term counts per doc, doc frequency per term) + a
+    broadcast join on the tiny per-term idf table — no self-join, no
+    UDF, scales with the corpus token count.
+    """
+    terms = sorted({t for t in re.split(r"[^a-z0-9]+", query.lower()) if t})
+    if not terms:
+        raise ValueError("query has no alphanumeric tokens")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda t: t != "")).alias("term"))
+    hits = toks.filter(F.col("term").isin(*terms))
+    n_docs = df.count()
+    tf = hits.groupBy(id_col, "term").agg(
+        F.count("*").cast("double").alias("tf"))
+    dfreq = (hits.select(id_col, "term").distinct()
+             .groupBy("term").agg(F.count("*").cast("double").alias("df")))
+    idf = dfreq.select(
+        "term",
+        (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+         ).alias("idf"))
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .groupBy(id_col)
+        .agg(F.round(F.sum(F.col("tf") * F.col("idf")), 6).alias("score"))
+    )
+    return (scored
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))

@@ -234,3 +234,35 @@ def test_two_hop_reverse_direction(spark):
         "src_id": ["m"], "dst_id": ["e2"], "rel": ["rc"]}))
     r2 = two_hop(a, c).collect()[0]
     assert (r2.start_id, r2.via_id, r2.end_id) == ("s1", "m", "e2")
+
+
+def test_rank_tfidf_semantics(spark):
+    """OR-match; rare terms outweigh common ones (idf); deterministic
+    doc-id tiebreak; empty query rejected."""
+    import pytest
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "spark spark spark common",       # high tf on 'spark'
+            "rareword common",                # the only 'rareword' doc
+            "common common",                  # matches only 'common'
+            "nothing relevant here",          # no match at all
+        ],
+    }))
+    got = ix.rank_tfidf(docs, "spark rareword", k=10,
+                        id_col="doc_id", text_col="text").collect()
+    ids = [r.doc_id for r in got]
+    assert set(ids) == {1, 2}        # OR-match; doc 3/4 never score
+    # idf: 'rareword' (df=1) beats 'spark' (df=1) only via tf — doc 1 has
+    # tf 3 on spark, doc 2 tf 1 on rareword, same idf -> doc 1 first
+    assert ids[0] == 1 and got[0].score > got[1].score
+    # tie: two docs with identical term profiles order by id
+    ties = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [7, 5], "text": ["spark x", "spark y"]}))
+    t = ix.rank_tfidf(ties, "spark", k=10, id_col="doc_id",
+                      text_col="text").collect()
+    assert [r.doc_id for r in t] == [5, 7]
+    assert t[0].score == t[1].score
+    with pytest.raises(ValueError, match="alphanumeric"):
+        ix.rank_tfidf(docs, "!!!", id_col="doc_id", text_col="text")
