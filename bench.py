@@ -127,6 +127,58 @@ def main() -> None:
     extras["kg_pipeline_turns_per_sec"] = round(n_turns / dt, 1)
     extras["kg_pipeline_triples"] = n_triples
 
+    # skew: planted hot-key join (SURVEY J4's "R" short-name case) —
+    # salted vs plain shuffle join under a 10%-hot-key fact table, dim
+    # forced past broadcast so join-side skew is real. Both WALL TIME and
+    # max/mean partition spread are recorded: locally the dim replication
+    # can cost more than the skew saves (few cores, small hot key), while
+    # the spread is the cluster-scale signal — a hot partition several x
+    # the mean is a straggler at 1000 executors. Not summed into the
+    # headline (new in round 3; keeps totals comparable across rounds).
+    from softcite_kb_spark.functions.skew import salted_join  # noqa: E402
+
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    n_fact, n_keys = 8_000_000, 200_000
+    fact = spark.range(n_fact).select(
+        F.when(F.col("id") % 10 == 0, F.lit("R"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % n_keys).cast("string")))
+        .alias("key"),
+        (F.col("id") % 97).alias("v")).persist()
+    dim = spark.range(n_keys).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("key"),
+        (F.col("id") % 13).alias("w")).unionByName(
+        spark.createDataFrame([("R", 1)], "key string, w bigint")).persist()
+    fact.count()
+    dim.count()
+
+    def _skew_plain():
+        return fact.join(dim, "key").groupBy("key").agg(
+            F.sum(F.col("v") + F.col("w")).alias("s"))
+
+    def _skew_salted():
+        return salted_join(fact, dim, "key", salt_buckets=16) \
+            .groupBy("key").agg(F.sum(F.col("v") + F.col("w")).alias("s"))
+
+    for tag, fn in (("plain", _skew_plain), ("salted", _skew_salted)):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _consume(fn())
+            d = time.perf_counter() - t0
+            best = d if best is None else min(best, d)
+        extras[f"skew_{tag}_sec"] = round(best, 3)
+    for tag, j in (("plain", fact.join(dim, "key")),
+                   ("salted", salted_join(fact, dim, "key", 16))):
+        cnts = [r["c"] for r in
+                j.groupBy(F.spark_partition_id().alias("p"))
+                 .agg(F.count("*").alias("c")).collect()]
+        extras[f"skew_{tag}_max_over_mean"] = round(
+            max(cnts) / (sum(cnts) / len(cnts)), 2)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    fact.unpersist()
+    dim.unpersist()
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_total",
