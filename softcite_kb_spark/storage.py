@@ -5,9 +5,10 @@ The target deployment stores every stage output as an Iceberg table
 Iceberg runtime jar, so ``TableStore`` reproduces the parts of the contract
 the pipeline relies on — immutable snapshots, a current-snapshot pointer,
 and per-snapshot manifests (row counts, schema, inputs) — over plain
-parquet. On a cluster you swap ``TableStore`` for ``spark.table(...)`` /
-``df.writeTo(...)`` against an Iceberg catalog; the pipeline code only
-touches this interface.
+parquet. On a cluster you swap ``TableStore`` for
+:class:`softcite_kb_spark.storage_iceberg.IcebergTableStore` (same
+four-verb surface against a real Iceberg catalog, merge as a real
+``MERGE INTO``); the pipeline code only touches this interface.
 
 Reference analog: each softcite_kb stage materializes an ArangoDB database
 (import dbs -> staging -> kb, Readme.md:55-145); idempotent re-runs rely on

@@ -1,0 +1,132 @@
+"""Iceberg-catalog cutover for :class:`softcite_kb_spark.storage.TableStore`.
+
+``TableStore`` reproduces the Iceberg contract the pipeline relies on
+(immutable snapshots, atomic pointer swap, pruned MERGE, fast append)
+over plain parquet because this sandbox ships no Iceberg runtime jar.
+On a real cluster you want the real thing — snapshot isolation across
+writers, manifest-level pruning, ``MERGE INTO`` planned by the engine.
+This module is that cutover: the same four-verb surface
+(``write`` / ``merge`` / ``append`` / ``read`` + ``exists``) expressed
+against a configured Iceberg catalog.
+
+The execution paths obviously cannot run here (no jar), so construction
+fails fast with guidance when the catalog is absent, and everything
+that CAN be verified without the runtime — the generated ``MERGE INTO``
+statement, identifier quoting, null-safe key equality matching
+``TableStore._anti_by_keys`` semantics — is pure and unit-tested.
+
+Reference analog: the idempotent re-import contract the ArangoDB
+``collection.has(key)`` guards provide (softcite_kb Readme.md:261-265)
+— here one atomic ``MERGE INTO`` per stage commit.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _quote(name: str) -> str:
+    """Backtick-quote one identifier part (escape embedded backticks)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def merge_into_sql(target: str, source_view: str,
+                   key_cols: list[str]) -> str:
+    """The upsert statement ``IcebergTableStore.merge`` executes.
+
+    Null-safe key equality (``<=>``) — the exact semantics
+    ``TableStore._anti_by_keys`` implements on the parquet stand-in, so
+    a pipeline moved between the two stores merges identically.
+    """
+    if not key_cols:
+        raise ValueError("merge requires at least one key column")
+    on = " AND ".join(
+        f"t.{_quote(k)} <=> s.{_quote(k)}" for k in key_cols)
+    return (
+        f"MERGE INTO {target} t\n"
+        f"USING {source_view} s\n"
+        f"ON {on}\n"
+        f"WHEN MATCHED THEN UPDATE SET *\n"
+        f"WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+class IcebergTableStore:
+    """Drop-in for ``TableStore`` on a cluster with an Iceberg catalog.
+
+    ``KGPipeline`` and the operators only touch the store through
+    ``exists/read/write/merge/append``, so swapping stores is a
+    constructor change::
+
+        store = IcebergTableStore(spark, catalog="prod", namespace="kb")
+        KGPipeline(spark, store, cfg).run()
+
+    Snapshot/versioning concerns (time travel, expire_snapshots,
+    rollback) belong to the catalog and its maintenance jobs — this
+    class deliberately does NOT reimplement them.
+    """
+
+    def __init__(self, spark: SparkSession, catalog: str,
+                 namespace: str = "kb") -> None:
+        if spark.conf.get(f"spark.sql.catalog.{catalog}", None) is None:
+            raise RuntimeError(
+                f"Spark session has no Iceberg catalog {catalog!r}; "
+                f"configure spark.sql.catalog.{catalog}="
+                f"org.apache.iceberg.spark.SparkCatalog (plus warehouse/"
+                f"type settings) and ship the iceberg-spark-runtime jar. "
+                f"In jar-less environments use storage.TableStore, the "
+                f"contract-compatible parquet stand-in.")
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+
+    # -- identifiers ------------------------------------------------------
+    def _ident(self, table: str) -> str:
+        return ".".join(_quote(p) for p in
+                        (self.catalog, self.namespace, table))
+
+    # -- public API (TableStore-compatible) --------------------------------
+    def exists(self, table: str) -> bool:
+        return self.spark.catalog.tableExists(
+            f"{self.catalog}.{self.namespace}.{table}")
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.table(self._ident(table))
+
+    def write(self, df: DataFrame, table: str,
+              properties: dict[str, Any] | None = None,
+              partition_by: list[str] | None = None) -> None:
+        """Overwrite-commit (one atomic snapshot, like TableStore.write)."""
+        w = df.writeTo(self._ident(table)).using("iceberg")
+        for k, v in (properties or {}).items():
+            if isinstance(v, str):  # Iceberg table properties are strings
+                w = w.tableProperty(k, v)
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        w.createOrReplace()
+
+    def append(self, df: DataFrame, table: str,
+               properties: dict[str, Any] | None = None) -> None:
+        """Fast-append commit — Iceberg appends manifests, O(new data)."""
+        if not self.exists(table):
+            return self.write(df, table, properties)
+        df.writeTo(self._ident(table)).append()
+
+    def merge(self, df: DataFrame, table: str, key_cols: list[str],
+              properties: dict[str, Any] | None = None) -> None:
+        """Upsert via real ``MERGE INTO`` — the engine plans partition/
+        file pruning from the table's partition spec and manifests
+        (TableStore's hand-rolled hardlink prune, done properly)."""
+        if not self.exists(table):
+            return self.write(df, table, properties)
+        view = f"__merge_src_{table}"
+        df.createOrReplaceTempView(view)
+        try:
+            self.spark.sql(merge_into_sql(
+                self._ident(table), _quote(view), key_cols))
+        finally:
+            self.spark.catalog.dropTempView(view)
