@@ -1314,9 +1314,9 @@ def oracle_sql() -> dict[str, str]:
                                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
                                '<EMAIL>', 'g'),
                              'https?://\S+', '<URL>', 'g'),
-                           '(^|[^0-9.])([0-9]{1,3}(\.[0-9]{1,3}){3})(\z|[^0-9.])',
+                           '(^|[^0-9.])([0-9]{1,3}(\.[0-9]{1,3}){3})(\z|\.\z|\.[^0-9.]|[^0-9.])',
                            '\1<IP>\4', 'g'),
-                         '(^|[^0-9.])([0-9]{1,3}(\.[0-9]{1,3}){3})(\z|[^0-9.])',
+                         '(^|[^0-9.])([0-9]{1,3}(\.[0-9]{1,3}){3})(\z|\.\z|\.[^0-9.]|[^0-9.])',
                          '\1<IP>\4', 'g'),
                        '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
                      '\s+', ' ', 'g')) AS clean

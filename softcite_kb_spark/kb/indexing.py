@@ -142,10 +142,11 @@ def rank_tfidf(df: DataFrame, query: str, k: int = 10,
     Model: lowercase alphanumeric tokens; OR-match (a doc scores if it
     contains ANY query term); smoothed idf = ln((N+1)/(df+1)) + 1;
     score = sum over distinct query terms of tf * idf, rounded to 6
-    decimals; ties break on id. Plan shape: one explode + two partial
-    aggregations (term counts per doc, doc frequency per term) + a
-    broadcast join on the tiny per-term idf table — no self-join, no
-    UDF, scales with the corpus token count.
+    decimals; ties break on id. Plan shape: ONE tokenize+explode scan —
+    the per-(doc, term) counts are materialized behind a lazy barrier
+    and doc frequency derives from them (one row per doc-term already),
+    so the corpus is never re-tokenized; N is a lazy metadata-count
+    joined in, not an eager driver job. No self-join, no UDF.
     """
     terms = sorted({t for t in re.split(r"[^a-z0-9]+", query.lower()) if t})
     if not terms:
@@ -155,15 +156,20 @@ def rank_tfidf(df: DataFrame, query: str, k: int = 10,
         F.explode(F.filter(
             F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
             lambda t: t != "")).alias("term"))
-    hits = toks.filter(F.col("term").isin(*terms))
-    n_docs = df.count()
-    tf = hits.groupBy(id_col, "term").agg(
-        F.count("*").cast("double").alias("tf"))
-    dfreq = (hits.select(id_col, "term").distinct()
-             .groupBy("term").agg(F.count("*").cast("double").alias("df")))
-    idf = dfreq.select(
+    tf = (
+        toks.filter(F.col("term").isin(*terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+        # consumed twice (scores + doc frequency): barrier so the
+        # explode pipeline runs once, not once per branch
+        .localCheckpoint(eager=False)
+    )
+    total = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").cast("double").alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(total)).select(
         "term",
-        (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+        (F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + 1.0
          ).alias("idf"))
     scored = (
         tf.join(F.broadcast(idf), "term")

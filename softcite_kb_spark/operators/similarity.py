@@ -102,13 +102,12 @@ def hyperplane_signs(
     if impl == "auto":
         impl = "expr" if n_planes * dim <= _EXPR_COEF_LIMIT else "pandas"
     if impl == "expr":
-        bucket = F.lit(0).cast("long")
-        for p in range(n_planes):
-            coeffs = F.array(*[F.lit(_plane_coef(seed, p, c))
-                               for c in range(dim)])
-            dp = _dot(vec.cast("array<double>"), coeffs)
-            bucket = bucket + F.when(dp > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        return bucket
+        # single source of truth for the sign rule: bucket from margins
+        # (_bucket_from_dots) over the shared per-plane dots — the same
+        # composition multi-probe uses, so the kernels cannot drift
+        return _bucket_from_dots(
+            hyperplane_dots(vec, dim, n_planes, seed, impl="expr"),
+            n_planes)
 
     import numpy as np
 

@@ -126,14 +126,21 @@ URL_RE = r"https?://\S+"
 # sequence: '1.2.3.4.5' is a version string, not '<IP>.5'. \b can't say
 # that ('4' to '.' IS a word boundary) and lookarounds are out (RE2 has
 # none — the oracle runs this exact pattern), so the boundaries are
-# captured groups: (start-of-text | non-digit-non-dot) on each side,
-# kept in the replacement. \z, not $: Java's $ also matches BEFORE a
-# trailing newline, RE2's only at end of text — \z means end-of-text in
-# both. Because a match CONSUMES its boundary char, two IPs separated by
-# a single separator ('1.1.1.1,2.2.2.2') need a second pass: the first
-# rewrite ends in '>' (a valid boundary), so pass 2 always catches the
-# survivor — scrub_pii applies the pattern twice.
-IP_RE = r"(^|[^0-9.])([0-9]{1,3}(\.[0-9]{1,3}){3})(\z|[^0-9.])"
+# captured groups kept in the replacement. Trailing boundary: end of
+# text, a non-digit-non-dot, OR a dot that is itself final/followed by
+# a non-digit-non-dot — that last pair is what keeps the sentence-final
+# IP in 'connect to 10.0.0.1.' scrubbed while still rejecting
+# '1.2.3.4.5' (dot followed by a DIGIT = longer dotted sequence). A
+# leading dot stays unscrubbed by design: '.1.2.3.4' is
+# indistinguishable from the tail of a longer dotted token. \z, not $:
+# Java's $ also matches BEFORE a trailing newline, RE2's only at end of
+# text — \z means end-of-text in both. Because a match CONSUMES its
+# boundary chars, two IPs separated by a single separator
+# ('1.1.1.1,2.2.2.2') need a second pass: the first rewrite ends in '>'
+# (a valid boundary), so pass 2 always catches the survivor —
+# scrub_pii applies the pattern twice.
+IP_RE = (r"(^|[^0-9.])([0-9]{1,3}(\.[0-9]{1,3}){3})"
+         r"(\z|\.\z|\.[^0-9.]|[^0-9.])")
 CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
 
 

@@ -156,7 +156,29 @@ class KGPipeline:
             .withColumn("commit_mode", F.lit(commit_mode))
             .withColumn("run_ts", F.lit(time.time()))
         )
-        self.store.append(part, "_metrics")
+        self._append_metrics(part)
+
+    def _append_metrics(self, part: DataFrame) -> None:
+        """Append metrics rows, migrating a pre-existing _metrics table
+        whose schema predates newer columns (e.g. commit_mode): old rows
+        are backfilled with NULL once, then appends resume O(new rows).
+        Without this, resuming a store created by an older library
+        version would die on append's schema-drift guard."""
+        try:
+            self.store.append(part, "_metrics")
+        except ValueError:
+            old = self.store.read(self.spark, "_metrics")
+            for f in part.schema.fields:
+                if f.name not in old.columns:
+                    old = old.withColumn(
+                        f.name, F.lit(None).cast(f.dataType))
+                else:
+                    # align drifted types too, or the rewritten table
+                    # would pin the old type and re-fail the append
+                    old = old.withColumn(
+                        f.name, F.col(f.name).cast(f.dataType))
+            self.store.write(old.select(*part.columns), "_metrics")
+            self.store.append(part, "_metrics")
 
     def read_metrics(self, current_only: bool = True) -> DataFrame:
         """The metrics/lineage table; with ``current_only`` keep only each

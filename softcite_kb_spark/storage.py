@@ -5,10 +5,11 @@ The target deployment stores every stage output as an Iceberg table
 Iceberg runtime jar, so ``TableStore`` reproduces the parts of the contract
 the pipeline relies on — immutable snapshots, a current-snapshot pointer,
 and per-snapshot manifests (row counts, schema, inputs) — over plain
-parquet. On a cluster you swap ``TableStore`` for
-:class:`softcite_kb_spark.storage_iceberg.IcebergTableStore` (same
-four-verb surface against a real Iceberg catalog, merge as a real
-``MERGE INTO``); the pipeline code only touches this interface.
+parquet. On a cluster the operator-level verbs (write/merge/append/read)
+cut over to :class:`softcite_kb_spark.storage_iceberg.IcebergTableStore`
+(real catalog, merge as a real ``MERGE INTO``); the pipeline's
+manifest/metrics layer additionally uses ``root``/``current_snapshot``
+— see that module's docstring for the remaining wiring.
 
 Reference analog: each softcite_kb stage materializes an ArangoDB database
 (import dbs -> staging -> kb, Readme.md:55-145); idempotent re-runs rely on
@@ -185,10 +186,15 @@ class TableStore:
             # comparison -> NULL -> old NULL-partition rows silently
             # dropped) and the __HIVE_DEFAULT_PARTITION__ directory carry-
             # over — take the safe full rewrite instead (derived from the
-            # same collect, no extra evaluation of df)
-            if any(v is None for t in affected for v in t):
+            # same collect, no extra evaluation of df). Empty string is
+            # the same hazard: Spark writes BOTH NULL and '' to the
+            # __HIVE_DEFAULT_PARTITION__ directory, so a pruned commit of
+            # '' rows would shadow the old NULL-partition leaf and drop
+            # its rows from the carry-over.
+            if any(v is None or v == "" for t in affected for v in t):
                 prunable = False
-                fallback_reason = "NULL partition value in incoming batch"
+                fallback_reason = \
+                    "NULL/empty partition value in incoming batch"
             elif len(affected) > self._MAX_PRUNED_PARTITIONS:
                 prunable = False
                 fallback_reason = (
@@ -206,14 +212,18 @@ class TableStore:
 
         # partition filter reaches the parquet scan: only affected
         # partitions are read (OR of per-tuple AND equalities — pushes
-        # down as partition pruning for single AND multi column layouts)
-        cond = None
+        # down as partition pruning for single AND multi column layouts).
+        # An EMPTY batch has no affected partitions: the condition is
+        # literal false (filter(None) would throw), the rewrite below
+        # writes nothing, and every leaf carries over — a valid no-op
+        # snapshot commit.
+        cond = F.lit(False)
         for t in affected:
             c = None
             for col, v in zip(part_by, t):
                 eq = F.col(col) == F.lit(v)
                 c = eq if c is None else (c & eq)
-            cond = c if cond is None else (cond | c)
+            cond = cond | c
         current_affected = self.read(df.sparkSession, table).filter(cond)
         kept = self._anti_by_keys(current_affected, df, key_cols)
         merged_affected = kept.unionByName(df)

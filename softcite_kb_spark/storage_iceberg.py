@@ -54,18 +54,23 @@ def merge_into_sql(target: str, source_view: str,
 
 
 class IcebergTableStore:
-    """Drop-in for ``TableStore`` on a cluster with an Iceberg catalog.
+    """Iceberg-catalog implementation of the OPERATOR-level store verbs.
 
-    ``KGPipeline`` and the operators only touch the store through
-    ``exists/read/write/merge/append``, so swapping stores is a
-    constructor change::
+    Covers ``exists/read/write/merge/append`` — everything the operators
+    and the dedup/CC materializers touch::
 
         store = IcebergTableStore(spark, catalog="prod", namespace="kb")
-        KGPipeline(spark, store, cfg).run()
+        store.merge(batch, "nodes", key_cols=["canonical_id"])
 
-    Snapshot/versioning concerns (time travel, expire_snapshots,
-    rollback) belong to the catalog and its maintenance jobs — this
-    class deliberately does NOT reimplement them.
+    NOT yet a full ``KGPipeline`` drop-in: the pipeline's resume
+    manifest and metrics layer additionally read ``store.root`` and
+    ``store.current_snapshot(...)`` (snapshot ids + row counts), which
+    on a real deployment should map to the catalog's snapshot metadata
+    (``<table>.snapshots``) rather than a local ``_manifest.json`` —
+    that wiring needs the runtime jar to build against and is the
+    documented cutover step, not silently faked here. Snapshot
+    maintenance (time travel, expire_snapshots, rollback) belongs to
+    the catalog's own jobs either way.
     """
 
     def __init__(self, spark: SparkSession, catalog: str,

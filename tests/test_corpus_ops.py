@@ -459,6 +459,8 @@ def test_scrub_pii_and_clean_text(spark):
         (5, None),
         (6, "1.1.1.1,2.2.2.2,3.3.3.3"),
         (7, "v1.2.3.4 8.8.8.8"),
+        (8, "connect to 10.0.0.1. Then stop"),
+        (9, "ends with 10.0.0.2."),
     ]
     df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
     out = {r.doc_id: r.clean for r in df.select(
@@ -478,6 +480,10 @@ def test_scrub_pii_and_clean_text(spark):
     # 'v1.2.3.4' — '1' is preceded by a letter (valid boundary), so the
     # quad IS scrubbed; a bare quad at end-of-text is caught by \z
     assert out[7] == "v<IP> <IP>"
+    # sentence-final IP: trailing '.' must not defeat the scrub (dot
+    # followed by non-digit / end-of-text is a valid boundary)
+    assert out[8] == "connect to <IP>. Then stop"
+    assert out[9] == "ends with <IP>."
 
 
 def test_lang_id_null_and_empty_text(spark):

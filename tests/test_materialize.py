@@ -62,6 +62,35 @@ def test_lloyd_refinement_scratch_equals_local_checkpoint(spark, scratch):
     assert scratch._n > 0
 
 
+def test_pipeline_threads_materializer(spark, scratch, tmp_path):
+    """The KGPipeline constructor knob reaches the CC rounds: a full
+    3-stage run over a scratch-table barrier produces the same KB as the
+    localCheckpoint default."""
+    from softcite_kb_spark import datagen
+    from softcite_kb_spark.plans.pipeline import KGPipeline, PipelineConfig
+
+    paths = datagen.write_corpus(str(tmp_path / "corpus"),
+                                 n_conversations=30)
+
+    def run(materializer, sub):
+        store = TableStore(str(tmp_path / sub))
+        for n in ("transcripts", "authority_entities", "authority_ids"):
+            store.write(spark.read.parquet(paths[n]), n)
+        KGPipeline(spark, store,
+                   PipelineConfig(cc_algorithm="star", min_vote_total=1),
+                   materializer=materializer).run(resume=False)
+        nodes = sorted(map(tuple, store.read(spark, "nodes")
+                           .select("canonical_id", "label").collect()))
+        edges = sorted(map(tuple, store.read(spark, "edges")
+                           .select("src_id", "rel", "dst_id").collect()))
+        return nodes, edges
+
+    a = run(None, "kb_default")
+    b = run(scratch, "kb_scratch")
+    assert a == b
+    assert scratch._n > 0
+
+
 def test_canonical_map_threads_materializer(spark, scratch):
     lm = spark.createDataFrame(pd.DataFrame({
         "conv_id": ["c1", "c2", "c3", "c4"],

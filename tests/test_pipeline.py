@@ -127,3 +127,23 @@ def test_read_metrics_latest_per_stage(spark, store):
     per = (cur.groupBy("stage", "table")
            .agg(F.countDistinct("run_ts").alias("n")).collect())
     assert all(r.n == 1 for r in per)
+
+
+def test_metrics_schema_migration_from_old_store(spark, store):
+    """A _metrics table written by an OLDER library version (no
+    commit_mode column) must not kill the run: the append path migrates
+    the old rows (NULL backfill) once and continues."""
+    pipe = KGPipeline(spark, store, _cfg())
+    # simulate the legacy table: write _metrics WITHOUT commit_mode
+    legacy = spark.createDataFrame(pd.DataFrame({
+        "partition_id": [0], "n_rows": [5], "stage": ["extract"],
+        "table": ["triples"], "config": ["deadbeef"], "run_ts": [1.0],
+    })).withColumn("n_rows", F.col("n_rows").cast("long"))
+    store.write(legacy, "_metrics")
+    pipe.run(resume=False)
+    m = store.read(spark, "_metrics")
+    assert "commit_mode" in m.columns
+    # legacy row survives, backfilled NULL; new rows carry a mode
+    old = m.filter(F.col("config") == "deadbeef").collect()
+    assert len(old) == 1 and old[0].commit_mode is None
+    assert m.filter(F.col("commit_mode") == "write").count() > 0

@@ -226,3 +226,49 @@ def test_merge_fallback_reason_recorded(spark, tmp_path):
     snap = st.merge(upd, "t", key_cols=["k"])  # day not in merge key
     assert snap.properties["merge_mode"] == "full-rewrite"
     assert "not all in merge key" in snap.properties["merge_fallback_reason"]
+
+
+def test_merge_empty_batch_is_noop_commit(spark, tmp_path):
+    """An empty incoming batch into a prunable partitioned table must
+    commit a valid no-op snapshot (carry every leaf over), not crash on
+    an empty prune condition — the incremental run with no new data."""
+    import os
+
+    st = TableStore(str(tmp_path / "kb"))
+    base = spark.createDataFrame(pd.DataFrame({
+        "bucket": ["a", "b"], "k": [1, 2], "v": ["x", "y"]}))
+    snap1 = st.write(base, "t", partition_by=["bucket"])
+    empty = spark.createDataFrame([], base.schema)
+    snap2 = st.merge(empty, "t", key_cols=["bucket", "k"])
+    assert snap2.properties["merge_mode"] == "pruned"
+    assert snap2.properties["rewritten_partitions"] == []
+    rows = {(r.bucket, r.k): r.v for r in st.read(spark, "t").collect()}
+    assert rows == {("a", 1): "x", ("b", 2): "y"}
+    # pure carry-over: same inodes for every leaf
+    for part in ("a", "b"):
+        d1 = os.path.join(snap1.path, f"bucket={part}")
+        for f in os.listdir(d1):
+            if f.endswith(".parquet"):
+                assert (os.stat(os.path.join(d1, f)).st_ino
+                        == os.stat(os.path.join(
+                            snap2.path, f"bucket={part}", f)).st_ino)
+
+
+def test_merge_empty_string_partition_falls_back(spark, tmp_path):
+    """'' and NULL both land in __HIVE_DEFAULT_PARTITION__: a pruned
+    commit of '' rows would shadow the NULL leaf and silently drop its
+    rows — must take the full rewrite instead."""
+    st = TableStore(str(tmp_path / "kb"))
+    base = spark.createDataFrame(pd.DataFrame({
+        "bucket": [None, "b"], "k": [1, 2], "v": ["nullrow", "y"]}))
+    st.write(base, "t", partition_by=["bucket"])
+    upd = spark.createDataFrame(pd.DataFrame(
+        {"bucket": [""], "k": [9], "v": ["empty"]}))
+    snap = st.merge(upd, "t", key_cols=["bucket", "k"])
+    assert snap.properties["merge_mode"] == "full-rewrite"
+    assert "NULL/empty" in snap.properties["merge_fallback_reason"]
+    got = {(r.bucket, r.k): r.v for r in st.read(spark, "t").collect()}
+    # the NULL-partition row SURVIVES ('' reads back as NULL from the
+    # default partition too — both rows live there, distinct keys)
+    assert got[(None, 1)] == "nullrow" and got[(None, 9)] == "empty"
+    assert len(got) == 3
