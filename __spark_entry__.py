@@ -817,6 +817,32 @@ def q51_search_tfidf(spark, sf_dir):
                       id_col="doc_id", text_col="text")
 
 
+def q52_corpus_prep(spark, sf_dir):
+    """End-to-end corpus-prep pipeline (plans/corpus.CorpusPipeline):
+    clean (PII scrub + normalization) -> exact dedup keep-min with
+    PLANTED duplicates -> language/quality/length filter (non-vacuous:
+    ~1/3 of docs fail the 0.62 quality floor, ~9% fail lang) -> token
+    stats of the survivors, all through real snapshot commits. The
+    near-dup leg is toggled off here: its CC step is the documented
+    non-SQL op (pytest-verified with planted near-dups); LSH candidates
+    and Jaccard verification have their own oracles (q25, q20)."""
+    import tempfile
+
+    from softcite_kb_spark.plans.corpus import CorpusConfig, CorpusPipeline
+    from softcite_kb_spark.storage import TableStore
+
+    st = TableStore(tempfile.mkdtemp(prefix="q52_"))
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    st.write(d.unionByName(planted), "documents")
+    CorpusPipeline(spark, st, CorpusConfig(
+        near_dup=False, languages=("en",), min_quality=0.62,
+        min_tokens=5)).run()
+    return st.read(spark, "corpus_stats").select(
+        "doc_id", "n_tokens", "punct_ratio", "sw_en")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: stage-1 extraction + fold + A1 ranking on sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -884,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_bmp_decode": q49_bmp_decode,
         "q50_lsh_topk_multiprobe": q50_lsh_topk_multiprobe,
         "q51_search_tfidf": q51_search_tfidf,
+        "q52_corpus_prep": q52_corpus_prep,
     }
 
 
@@ -1129,6 +1156,62 @@ def _multiprobe_oracle_sql(n_planes: int = 4, dim: int = 64,
     """
 
 
+_CLEAN_SQL_EXPR = (
+    "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace(text, "
+    r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    r"'https?://\S+', '<URL>', 'g'), "
+    r"'(^|[^0-9.])([0-9]{1,3}(\.[0-9]{1,3}){3})(\z|\.\z|\.[^0-9.]|[^0-9.])',"
+    r" '\1<IP>\4', 'g'), "
+    r"'(^|[^0-9.])([0-9]{1,3}(\.[0-9]{1,3}){3})(\z|\.\z|\.[^0-9.]|[^0-9.])',"
+    r" '\1<IP>\4', 'g'), "
+    r"'[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'), "
+    r"'\s+', ' ', 'g'))")
+
+
+def _corpus_prep_oracle_sql() -> str:
+    """q52: the corpus-prep composition in SQL — the SAME expressions as
+    q47 (clean), q18 (fingerprint dedup keep-min), q15/q16 (quality/
+    lang), q14 (stats), chained over the survivors at each stage."""
+    stats = (_DOC_STATS_CTE
+             .replace("WITH s AS", ", s AS")
+             .replace("FROM documents", "FROM surv"))
+    quality = ("round(0.4 * least(1.0, n_tokens / 64.0) "
+               "+ 0.3 * (1.0 - least(1.0, punct_ratio * 5.0)) "
+               "+ 0.3 * least(1.0, sw_en * 4.0), 6)")
+    lang = ("CASE WHEN greatest(sw_en, sw_de, sw_fr, sw_es) IS NULL "
+            "OR greatest(sw_en, sw_de, sw_fr, sw_es) <= 0.0 THEN 'und' "
+            "WHEN sw_en = greatest(sw_en, sw_de, sw_fr, sw_es) THEN 'en' "
+            "WHEN sw_de = greatest(sw_en, sw_de, sw_fr, sw_es) THEN 'de' "
+            "WHEN sw_fr = greatest(sw_en, sw_de, sw_fr, sw_es) THEN 'fr' "
+            "ELSE 'es' END")
+    return f"""
+        WITH raw AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 25
+        ), cleanedx AS (
+          SELECT doc_id, {_CLEAN_SQL_EXPR} AS text FROM raw
+        ), cleaned AS (
+          SELECT * FROM cleanedx
+          WHERE text IS NOT NULL AND length(text) > 0
+        ), surv AS (
+          SELECT doc_id, text FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY
+                md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')))
+              ORDER BY doc_id) AS rn
+            FROM cleaned
+          ) WHERE rn = 1
+        ){stats}
+        SELECT doc_id, n_tokens, punct_ratio, sw_en
+        FROM st
+        WHERE ({lang}) = 'en'
+          AND {quality} >= 0.62
+          AND n_tokens BETWEEN 5 AND 1000000
+    """
+
+
 def _near_dup_lsh_oracle_sql() -> str:
     """q46: bucket self-join near-dup pairs from the same plane constants."""
     bucket = _hyperplane_bucket_sql()
@@ -1159,6 +1242,7 @@ def oracle_sql() -> dict[str, str]:
         "q26_simhash_near_pairs": _simhash_oracle_sql(),
         "q28_lsh_topk": _hyperplane_oracle_sql(),
         "q50_lsh_topk_multiprobe": _multiprobe_oracle_sql(),
+        "q52_corpus_prep": _corpus_prep_oracle_sql(),
         # q49: the REAL BMP decoder vs a relational reconstruction — the
         # fixture's dims/pixel value are modular functions of doc_id and
         # the image is uniform, so checksum = 3*w*h*v and n_bytes =
