@@ -843,6 +843,30 @@ def q52_corpus_prep(spark, sf_dir):
         "doc_id", "n_tokens", "punct_ratio", "sw_en")
 
 
+def q53_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (operators/sampling.
+    hash_split): a pure function of the row key via md5-derived uniform
+    [0,1) — stable across runs, partitionings, cluster sizes (what
+    randomSplit is not). Oracle recomputes every assignment from the
+    same hash."""
+    from softcite_kb_spark.operators.sampling import hash_split
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(d, {"train": 0.9, "val": 0.05, "test": 0.05})
+
+
+def q54_token_packing(spark, sf_dir):
+    """Fixed-token-budget sequence packing (operators/sampling.
+    pack_token_budget): shard by key hash, offset-pack in key order
+    within each shard — one window per shard, no global sort. Token
+    counts from textops.text_stats; oracle rebuilds shards, prefix
+    sums, and bin quotients relationally."""
+    from softcite_kb_spark.operators.sampling import pack_token_budget
+    d = tx.text_stats(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens")
+    return pack_token_budget(d, budget=512, n_shards=8).select(
+        "doc_id", "n_tokens", "shard", "bin_idx")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: stage-1 extraction + fold + A1 ranking on sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -911,6 +935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_lsh_topk_multiprobe": q50_lsh_topk_multiprobe,
         "q51_search_tfidf": q51_search_tfidf,
         "q52_corpus_prep": q52_corpus_prep,
+        "q53_hash_split": q53_hash_split,
+        "q54_token_packing": q54_token_packing,
     }
 
 
@@ -1243,6 +1269,36 @@ def oracle_sql() -> dict[str, str]:
         "q28_lsh_topk": _hyperplane_oracle_sql(),
         "q50_lsh_topk_multiprobe": _multiprobe_oracle_sql(),
         "q52_corpus_prep": _corpus_prep_oracle_sql(),
+        # q53: the md5-derived unit interval recomputed per key; CASE
+        # thresholds in the same dict order as the Spark side
+        "q53_hash_split": """
+            SELECT doc_id,
+                   CASE WHEN u < 0.9 THEN 'train'
+                        WHEN u < 0.95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     ('0x' || substring(md5('7:' || doc_id), 1, 8))::BIGINT
+                       / 4294967296.0 AS u
+              FROM documents
+            )
+        """,
+        # q54: shard hash, per-shard token prefix sum (ROWS ... 1
+        # PRECEDING), bin = prefix // budget — the offset-packing rule
+        "q54_token_packing": _DOC_STATS_CTE + """
+            SELECT doc_id, n_tokens,
+                   shard,
+                   (coalesce(sum(n_tokens) OVER (
+                      PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) // 512)::BIGINT AS bin_idx
+            FROM (
+              SELECT doc_id, n_tokens,
+                     (('0x' || substring(md5('shard7:' || doc_id), 1, 8))
+                        ::BIGINT % 8) AS shard
+              FROM st
+            )
+        """,
         # q49: the REAL BMP decoder vs a relational reconstruction — the
         # fixture's dims/pixel value are modular functions of doc_id and
         # the image is uniform, so checksum = 3*w*h*v and n_bytes =
