@@ -843,6 +843,35 @@ def q52_corpus_prep(spark, sf_dir):
         "doc_id", "n_tokens", "punct_ratio", "sw_en")
 
 
+def q55_asof_join_tolerance(spark, sf_dir):
+    """As-of join with a match window (pandas merge_asof tolerance
+    analog): the latest prior view within 6 hours of each purchase,
+    older matches nulled to the sentinel. Oracle = DuckDB native ASOF
+    LEFT JOIN post-filtered by the same epoch-difference rule."""
+    from softcite_kb_spark.operators.temporal import asof_join
+    e = _t(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", F.round("value", 6).alias("v"))
+    right = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+        F.round("value", 6).alias("r_value"))
+    w_tie = Window.partitionBy("user_id", "r_ts").orderBy(
+        F.desc("r_event_id"), F.desc("r_value"))
+    right = (right.withColumn("__tn", F.row_number().over(w_tie))
+             .filter(F.col("__tn") == 1).drop("__tn"))
+    out = asof_join(left, right, ["user_id"], "ts", "r_ts",
+                    tolerance=21600)
+    return out.select(
+        "user_id", "event_id", "ts", "v",
+        F.coalesce("r_event_id", F.lit(-1)).alias("r_event_id"),
+        F.coalesce("r_ts",
+                   F.lit("1970-01-01 00:00:00").cast("timestamp")).alias("r_ts"),
+        F.coalesce("r_value", F.lit(-1.0)).alias("r_value"),
+    )
+
+
 def q53_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment (operators/sampling.
     hash_split): a pure function of the row key via md5-derived uniform
@@ -937,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_corpus_prep": q52_corpus_prep,
         "q53_hash_split": q53_hash_split,
         "q54_token_packing": q54_token_packing,
+        "q55_asof_join_tolerance": q55_asof_join_tolerance,
     }
 
 
@@ -1402,6 +1432,40 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(r.r_value, -1.0) AS r_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.r_ts
+        """,
+        # q55: native ASOF LEFT JOIN + the same epoch-difference
+        # tolerance rule as a post-filter (the latest match is the
+        # closest, so nulling a too-old latest == latest-within-window)
+        "q55_asof_join_tolerance": """
+            WITH l AS (
+              SELECT user_id, event_id, ts, round(value, 6) AS v
+              FROM events WHERE event_type = 'purchase'
+            ), r0 AS (
+              SELECT user_id, event_id AS r_event_id, ts AS r_ts,
+                     round(value, 6) AS r_value
+              FROM events WHERE event_type = 'view'
+            ), r AS (
+              SELECT user_id, r_event_id, r_ts, r_value FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id, r_ts
+                          ORDER BY r_event_id DESC, r_value DESC) AS tn
+                FROM r0
+              ) WHERE tn = 1
+            ), j AS (
+              SELECT l.user_id, l.event_id, l.ts, l.v,
+                     CASE WHEN epoch(l.ts) - epoch(r.r_ts) <= 21600
+                          THEN r.r_event_id END AS r_event_id,
+                     CASE WHEN epoch(l.ts) - epoch(r.r_ts) <= 21600
+                          THEN r.r_ts END AS r_ts,
+                     CASE WHEN epoch(l.ts) - epoch(r.r_ts) <= 21600
+                          THEN r.r_value END AS r_value
+              FROM l ASOF LEFT JOIN r
+                ON l.user_id = r.user_id AND l.ts >= r.r_ts
+            )
+            SELECT user_id, event_id, ts, v,
+                   coalesce(r_event_id, -1) AS r_event_id,
+                   coalesce(r_ts, TIMESTAMP '1970-01-01 00:00:00') AS r_ts,
+                   coalesce(r_value, -1.0) AS r_value
+            FROM j
         """,
         # q44: plain BETWEEN join is the oracle for the bucketed range join
         "q44_range_join": """

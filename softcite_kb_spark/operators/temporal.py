@@ -38,6 +38,7 @@ def asof_join(
     key_cols: list[str],
     left_ts: str = "ts",
     right_ts: str = "ts",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Backward (inclusive) as-of join: each left row gains the right row
     with the greatest ``right_ts`` <= ``left_ts`` for the same key; left
@@ -48,6 +49,14 @@ def asof_join(
     not collide with left column names (rename on the way in). Ties on
     ``right_ts`` within a key resolve to the greatest payload struct
     (deterministic lexicographic-on-fields tiebreak).
+
+    ``tolerance`` (pandas merge_asof analog): a match older than
+    ``left_ts - tolerance`` is discarded (NULL right columns instead).
+    Units follow the ts columns — SECONDS for timestamps, plain
+    difference for numeric ts. Because the as-of match is the LATEST
+    eligible right row, "latest within tolerance" and "null out a
+    too-old latest match" are the same rule — which is what lets a SQL
+    oracle express it as a post-filter on a native ASOF join.
     """
     rpay_cols = [c for c in right.columns if c not in key_cols]
     collide = set(rpay_cols) & set(left.columns)
@@ -96,6 +105,29 @@ def asof_join(
     )
     carried = lt.unionByName(rt).withColumn(
         "__match", F.last("__rpay", ignorenulls=True).over(w))
+    if tolerance is not None:
+        # ts of the matched right row: last() over the SAME window/order
+        # picks from the same row as the payload last() above
+        carried = carried.withColumn(
+            "__mts",
+            F.last(F.when(F.col("__side") == 0, F.col("__ts")),
+                   ignorenulls=True).over(w))
+        # numeric view of the ts: ANSI mode refuses TIMESTAMP(_NTZ) ->
+        # DOUBLE casts, so timestamps go through unix_micros (the
+        # NTZ->LTZ session-zone shift cancels in the difference)
+        lts_type = left.schema[left_ts].dataType
+        if isinstance(lts_type, (T.TimestampType, T.TimestampNTZType)):
+            def as_num(c):
+                return F.unix_micros(c.cast("timestamp")) / F.lit(1e6)
+        else:
+            def as_num(c):
+                return c.cast("double")
+        in_window = (
+            F.col("__mts").isNotNull()
+            & ((as_num(F.col("__ts")) - as_num(F.col("__mts")))
+               <= float(tolerance)))
+        carried = carried.withColumn(
+            "__match", F.when(in_window, F.col("__match")))
     return (
         carried.filter(F.col("__side") == 1)
         .select(

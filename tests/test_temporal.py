@@ -196,3 +196,35 @@ def test_hypertable_rollup_empty_granularities(spark):
         "value": [1.0]}))
     with pytest.raises(ValueError, match="granularity"):
         tp.hypertable_rollup(e, granularities=())
+
+
+def test_asof_join_tolerance(spark):
+    """pandas merge_asof tolerance analog: a latest-prior match older
+    than the window is discarded (NULL right columns), an in-window one
+    kept; exact-boundary matches are INCLUSIVE."""
+    import pandas as pd
+
+    from softcite_kb_spark.operators.temporal import asof_join
+
+    ts = pd.to_datetime
+    left = spark.createDataFrame(pd.DataFrame({
+        "k": ["a", "a", "b"],
+        "lid": [1, 2, 3],
+        "ts": pd.Series(ts(["2024-01-01 10:00:00", "2024-01-01 12:00:00",
+                            "2024-01-01 10:00:00"])).astype("datetime64[us]"),
+    }))
+    right = spark.createDataFrame(pd.DataFrame({
+        "k": ["a", "b"],
+        "rid": [10, 20],
+        "rts": pd.Series(ts(["2024-01-01 09:30:00",
+                             "2024-01-01 08:00:00"])).astype("datetime64[us]"),
+    }))
+    out = {r.lid: r.rid for r in asof_join(
+        left, right, ["k"], "ts", "rts", tolerance=1800).collect()}
+    assert out[1] == 10      # 30 min back, exactly at the boundary
+    assert out[2] is None    # 2.5 h back, outside tolerance
+    assert out[3] is None    # 2 h back on key b, outside
+    # no tolerance: both match
+    out2 = {r.lid: r.rid for r in asof_join(
+        left, right, ["k"], "ts", "rts").collect()}
+    assert out2 == {1: 10, 2: 10, 3: 20}
