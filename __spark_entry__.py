@@ -843,6 +843,15 @@ def q52_corpus_prep(spark, sf_dir):
         "doc_id", "n_tokens", "punct_ratio", "sw_en")
 
 
+def q56_near_dup_multitable(spark, sf_dir):
+    """Multi-table LSH near-dup (similarity.embedding_near_dup_pairs
+    n_tables=2): independent plane sets, candidates unioned + deduped
+    before scoring — the recall lever over q46's single table."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dup_pairs(e, dim=64, threshold=0.2,
+                                        n_planes=4, n_tables=2)
+
+
 def q55_asof_join_tolerance(spark, sf_dir):
     """As-of join with a match window (pandas merge_asof tolerance
     analog): the latest prior view within 6 hours of each purchase,
@@ -967,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_hash_split": q53_hash_split,
         "q54_token_packing": q54_token_packing,
         "q55_asof_join_tolerance": q55_asof_join_tolerance,
+        "q56_near_dup_multitable": q56_near_dup_multitable,
     }
 
 
@@ -1268,6 +1278,36 @@ def _corpus_prep_oracle_sql() -> str:
     """
 
 
+def _near_dup_multitable_oracle_sql(n_tables: int = 2) -> str:
+    """q56: multi-table LSH near-dup — per-table bucket self-joins from
+    independent (seed-offset) plane sets, candidates UNIONed (distinct),
+    scored once."""
+    score = ("round(list_dot_product(a.embedding::DOUBLE[], "
+             "b.embedding::DOUBLE[]) / greatest("
+             "sqrt(list_dot_product(a.embedding::DOUBLE[], "
+             "a.embedding::DOUBLE[])) * "
+             "sqrt(list_dot_product(b.embedding::DOUBLE[], "
+             "b.embedding::DOUBLE[])), 1e-12), 6)")
+    tables = ",\n".join(
+        f"b{t} AS (SELECT vec_id, embedding, "
+        f"{_hyperplane_bucket_sql(seed=13 + 101 * t)} AS bucket "
+        f"FROM embeddings)"
+        for t in range(n_tables))
+    cands = "\nUNION\n".join(
+        f"SELECT l.vec_id AS id_a, r.vec_id AS id_b FROM b{t} l "
+        f"JOIN b{t} r ON l.bucket = r.bucket AND l.vec_id < r.vec_id"
+        for t in range(n_tables))
+    return f"""
+        WITH {tables},
+        cand AS ({cands})
+        SELECT c.id_a, c.id_b, {score} AS cos
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.id_a
+        JOIN embeddings b ON b.vec_id = c.id_b
+        WHERE {score} >= 0.2
+    """
+
+
 def _near_dup_lsh_oracle_sql() -> str:
     """q46: bucket self-join near-dup pairs from the same plane constants."""
     bucket = _hyperplane_bucket_sql()
@@ -1295,6 +1335,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q25_lsh_candidate_pairs": _lsh_oracle_sql(),
         "q46_emb_near_dup_lsh": _near_dup_lsh_oracle_sql(),
+        "q56_near_dup_multitable": _near_dup_multitable_oracle_sql(),
         "q26_simhash_near_pairs": _simhash_oracle_sql(),
         "q28_lsh_topk": _hyperplane_oracle_sql(),
         "q50_lsh_topk_multiprobe": _multiprobe_oracle_sql(),

@@ -403,16 +403,44 @@ def embedding_near_dup_pairs(
     n_planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
+    seed: int = 13,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via bucket self-join."""
-    b = df.select(id_col, vec_col).withColumn(
-        "bucket", hyperplane_signs(F.col(vec_col), dim, n_planes))
-    l, r = b.alias("l"), b.alias("r")
+    """Embedding-cosine near-duplicate pairs via bucket self-join.
+
+    ``n_tables`` > 1 is the recall lever (standard multi-table LSH): each
+    table hashes with an independent plane set (seed offset), candidate
+    pairs union across tables and dedupe BEFORE scoring — a true pair
+    missed by one table's split is caught by another, and no pair is
+    scored twice. Candidate volume grows ~linearly with tables; the
+    corpus is still never cross-joined.
+    """
+    if n_tables < 1:
+        raise ValueError("n_tables must be >= 1")
+    b = df.select(id_col, vec_col)
+    cand = None
+    for t in range(n_tables):
+        bt = b.withColumn(
+            "bucket",
+            hyperplane_signs(F.col(vec_col), dim, n_planes,
+                             seed=seed + 101 * t))
+        l, r = bt.alias("l"), bt.alias("r")
+        p = (
+            l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
+                   & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .select(F.col(f"l.{id_col}").alias("id_a"),
+                    F.col(f"r.{id_col}").alias("id_b"))
+        )
+        cand = p if cand is None else cand.unionByName(p)
+    if n_tables > 1:
+        cand = cand.distinct()
+    va = df.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).alias("__vb"))
     return (
-        l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
-               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-        .withColumn("cos", cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")))
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
         .filter(F.col("cos") >= threshold)
-        .select(F.col(f"l.{id_col}").alias("id_a"),
-                F.col(f"r.{id_col}").alias("id_b"), "cos")
+        .select("id_a", "id_b", "cos")
     )

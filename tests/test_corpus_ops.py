@@ -515,3 +515,33 @@ def test_decode_media_oversize_dims_dropped(spark):
     kept = multimodal.decode_media(media, drop_malformed=False) \
         .filter(F.col("media_id") == 99).collect()
     assert kept[0].width is None
+
+
+def test_near_dup_multitable_recall(spark):
+    """Multi-table LSH must recover pairs a single table's split loses,
+    never lose one it had, and never duplicate a pair."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 16))
+    rows = []
+    for i in range(40):
+        rows.append((2 * i, [float(x) for x in base[i]]))
+        rows.append((2 * i + 1,
+                     [float(x) for x in base[i] + 0.05 * rng.normal(size=16)]))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    truth = {(2 * i, 2 * i + 1) for i in range(40)}
+
+    def pairs(n_tables):
+        got = similarity.embedding_near_dup_pairs(
+            df, dim=16, threshold=0.9, n_planes=5,
+            n_tables=n_tables).collect()
+        keys = [(r.id_a, r.id_b) for r in got]
+        assert len(keys) == len(set(keys))   # deduped before scoring
+        return set(keys)
+
+    one, three = pairs(1), pairs(3)
+    assert one <= three                       # union never loses a pair
+    assert len(three & truth) > len(one & truth)   # recall improved
+    assert len(three & truth) / len(truth) >= 0.9
