@@ -831,7 +831,15 @@ def q52_corpus_prep(spark, sf_dir):
     from softcite_kb_spark.plans.corpus import CorpusConfig, CorpusPipeline
     from softcite_kb_spark.storage import TableStore
 
-    st = TableStore(tempfile.mkdtemp(prefix="q52_"))
+    # ONE deterministic scratch dir per sf_dir, overwritten on re-run —
+    # the returned DataFrame reads lazily from these files, so they
+    # cannot be deleted here; a per-call mkdtemp would accumulate
+    # unbounded /tmp usage across harness runs, whereas TableStore's own
+    # snapshot retirement (last 3) bounds this one
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_q52_{os.path.basename(sf_dir.rstrip('/'))}")
+    st = TableStore(scratch)
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     planted = d.filter(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text")
@@ -1540,7 +1548,10 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 2, 3
         """,
         # q47: identical regex battery (shared Java/RE2 subset) in SQL
-        "q47_scrub_clean": r"""
+        # q47: ONE source of truth for the SQL scrub chain —
+        # _CLEAN_SQL_EXPR (q52's corpus-prep oracle uses the same
+        # constant, so a pattern fix can never desync the two)
+        "q47_scrub_clean": f"""
             WITH dirty AS (
               SELECT doc_id,
                      chr(1) || ' ' || text
@@ -1549,22 +1560,7 @@ def oracle_sql() -> dict[str, str]:
                      || (doc_id % 256) || ' end' || chr(9) AS text
               FROM documents
             )
-            SELECT doc_id,
-                   trim(regexp_replace(
-                     regexp_replace(
-                       regexp_replace(
-                         regexp_replace(
-                           regexp_replace(
-                             regexp_replace(text,
-                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                               '<EMAIL>', 'g'),
-                             'https?://\S+', '<URL>', 'g'),
-                           '(^|[^0-9.])([0-9]{1,3}(\.[0-9]{1,3}){3})(\z|\.\z|\.[^0-9.]|[^0-9.])',
-                           '\1<IP>\4', 'g'),
-                         '(^|[^0-9.])([0-9]{1,3}(\.[0-9]{1,3}){3})(\z|\.\z|\.[^0-9.]|[^0-9.])',
-                         '\1<IP>\4', 'g'),
-                       '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
-                     '\s+', ' ', 'g')) AS clean
+            SELECT doc_id, {_CLEAN_SQL_EXPR} AS clean
             FROM dirty
         """,
         # q51: tf-idf ranked search — identical tokenization, smoothed

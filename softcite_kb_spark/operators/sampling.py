@@ -48,11 +48,11 @@ def hash_split(df: DataFrame, weights: dict[str, float],
     Deterministic per key: the same key always lands in the same split,
     across runs and partitionings.
     """
+    if not weights:
+        raise ValueError("at least one split required")
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
-    if not weights:
-        raise ValueError("at least one split required")
     u = uniform_unit(F.col(key_col), seed)
     expr = None
     cum = 0.0
@@ -86,6 +86,10 @@ def pack_token_budget(
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
+    if n_shards <= 0:
+        # would otherwise surface as an ANSI modulo-by-zero deep inside
+        # a Spark stage, not at call time
+        raise ValueError("n_shards must be positive")
     h = F.md5(F.concat_ws(":", F.lit(f"shard{seed}"),
                           F.col(key_col).cast("string")))
     shard = F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"),

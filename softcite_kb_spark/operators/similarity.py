@@ -405,6 +405,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     n_tables: int = 1,
     seed: int = 13,
+    materializer=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via bucket self-join.
 
@@ -412,28 +413,49 @@ def embedding_near_dup_pairs(
     table hashes with an independent plane set (seed offset), candidate
     pairs union across tables and dedupe BEFORE scoring — a true pair
     missed by one table's split is caught by another, and no pair is
-    scored twice. Candidate volume grows ~linearly with tables; the
-    corpus is still never cross-joined.
+    scored twice. Plan shape: ALL tables' buckets come from one
+    projection (posexplode over an array of bucket ids, one corpus scan
+    behind a self-join barrier), matched by a single equi-join on
+    (table, bucket) — not one self-join per table. ``materializer`` is
+    the self-join barrier (see softcite_kb_spark.materialize).
     """
     if n_tables < 1:
         raise ValueError("n_tables must be >= 1")
-    b = df.select(id_col, vec_col)
-    cand = None
-    for t in range(n_tables):
-        bt = b.withColumn(
-            "bucket",
-            hyperplane_signs(F.col(vec_col), dim, n_planes,
-                             seed=seed + 101 * t))
-        l, r = bt.alias("l"), bt.alias("r")
-        p = (
+    if n_tables == 1:
+        # single table: carry vectors through the one self-join — no
+        # candidate dedup, no vector re-join needed
+        b = df.select(id_col, vec_col).withColumn(
+            "bucket", hyperplane_signs(F.col(vec_col), dim, n_planes,
+                                       seed=seed))
+        l, r = b.alias("l"), b.alias("r")
+        return (
             l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .withColumn("cos", cosine(F.col(f"l.{vec_col}"),
+                                      F.col(f"r.{vec_col}")))
+            .filter(F.col("cos") >= threshold)
             .select(F.col(f"l.{id_col}").alias("id_a"),
-                    F.col(f"r.{id_col}").alias("id_b"))
+                    F.col(f"r.{id_col}").alias("id_b"), "cos")
         )
-        cand = p if cand is None else cand.unionByName(p)
-    if n_tables > 1:
-        cand = cand.distinct()
+
+    from softcite_kb_spark.materialize import local_checkpoint_materializer
+
+    buckets = F.array(*[
+        hyperplane_signs(F.col(vec_col), dim, n_planes, seed=seed + 101 * t)
+        for t in range(n_tables)])
+    bt = df.select(
+        F.col(id_col),
+        F.posexplode(buckets).alias("tbl", "bucket"))
+    bt = (materializer or local_checkpoint_materializer)(bt)
+    l, r = bt.alias("l"), bt.alias("r")
+    cand = (
+        l.join(r, (F.col("l.tbl") == F.col("r.tbl"))
+               & (F.col("l.bucket") == F.col("r.bucket"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
     va = df.select(F.col(id_col).alias("id_a"),
                    F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("id_b"),

@@ -82,15 +82,11 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.drop("__toks")
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Deterministic quality heuristic in [0,1]:
-    length saturation + low punctuation + stopword presence.
-
-    score = 0.4*min(1, n_tokens/64) + 0.3*(1 - min(1, punct_ratio*5))
-          + 0.3*min(1, sw_en*4)
-    """
-    s = text_stats(df, text_col)
-    return s.withColumn(
+def quality_from_stats(stats: DataFrame) -> DataFrame:
+    """Quality column from an EXISTING text_stats projection — callers
+    composing several text measures over one corpus pass use this to
+    avoid re-tokenizing (each public wrapper tokenizes internally)."""
+    return stats.withColumn(
         "quality",
         F.round(
             0.4 * F.least(F.lit(1.0), F.col("n_tokens") / 64.0)
@@ -98,15 +94,21 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
             + 0.3 * F.least(F.lit(1.0), F.col("sw_en") * 4.0), 6))
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Argmax-stopword-ratio language ID with 'und' fallback.
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality heuristic in [0,1]:
+    length saturation + low punctuation + stopword presence.
 
-    Ties break by fixed priority en > de > fr > es (strictly-greater
-    comparisons in that order — reproducible in a SQL CASE).
+    score = 0.4*min(1, n_tokens/64) + 0.3*(1 - min(1, punct_ratio*5))
+          + 0.3*min(1, sw_en*4)
     """
-    s = text_stats(df, text_col)
+    return quality_from_stats(text_stats(df, text_col))
+
+
+def lang_from_stats(stats: DataFrame) -> DataFrame:
+    """lang_pred column from an EXISTING text_stats projection (see
+    :func:`quality_from_stats`)."""
     mx = F.greatest("sw_en", "sw_de", "sw_fr", "sw_es")
-    return s.withColumn(
+    return stats.withColumn(
         "lang_pred",
         # NULL-safe: NULL text gives NULL ratios; every when() condition
         # would be NULL (not true) and control would FALL THROUGH to the
@@ -116,6 +118,15 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         .when(F.col("sw_de") == mx, F.lit("de"))
         .when(F.col("sw_fr") == mx, F.lit("fr"))
         .otherwise(F.lit("es")))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Argmax-stopword-ratio language ID with 'und' fallback.
+
+    Ties break by fixed priority en > de > fr > es (strictly-greater
+    comparisons in that order — reproducible in a SQL CASE).
+    """
+    return lang_from_stats(text_stats(df, text_col))
 
 
 # Scrub patterns: shared Java-regex/RE2 subset (no lookarounds, no

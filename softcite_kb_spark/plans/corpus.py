@@ -100,12 +100,16 @@ class CorpusPipeline:
         verified = dd.jaccard_pairs(
             docs, pairs, text_col="text", shingle_n=cfg.shingle_n,
             threshold=cfg.jaccard_threshold)
+        # ids keep their NUMERIC type: connected_components min-labels
+        # with the column's native ordering, and a string cast would make
+        # the survivor the LEXICOGRAPHIC min ('10' < '9'), silently
+        # keeping the wrong doc of a pair like (9, 10)
         comp = connected_components(
-            verified.select(F.col("id_a").cast("string").alias("src"),
-                            F.col("id_b").cast("string").alias("dst")),
+            verified.select(F.col("id_a").alias("src"),
+                            F.col("id_b").alias("dst")),
             materializer=self.materializer)
         return (comp.filter(F.col("member_id") != F.col("component_id"))
-                .select(F.col("member_id").cast("long").alias("doc_id")))
+                .select(F.col("member_id").alias("doc_id")))
 
     def stage_dedup(self) -> None:
         docs = self.store.read(self.spark, "docs_clean")
@@ -118,7 +122,11 @@ class CorpusPipeline:
     def stage_filter(self) -> None:
         cfg = self.config
         docs = self.store.read(self.spark, "docs_dedup")
-        scored = tx.quality_score(tx.lang_id(docs))
+        # ONE text_stats pass: the lang_id/quality_score wrappers each
+        # tokenize internally, which would double the text-analysis cost
+        # of the stage; derive both from a single stats projection
+        scored = tx.quality_from_stats(
+            tx.lang_from_stats(tx.text_stats(docs)))
         kept = scored.filter(
             F.col("lang_pred").isin(*cfg.languages)
             & (F.col("quality") >= cfg.min_quality)
@@ -136,7 +144,9 @@ class CorpusPipeline:
 
     def run(self) -> dict[str, int]:
         """Run all stages; returns per-stage surviving row counts and
-        commits them (plus drop counts) to ``corpus_metrics``."""
+        commits (rows_in, rows_out) per stage to ``corpus_metrics`` —
+        the SIGNED picture: a stage that GAINS rows (a join fan-out bug)
+        is just as visible as one that drops them (no clamping)."""
         fns = {"clean": self.stage_clean, "dedup": self.stage_dedup,
                "filter": self.stage_filter, "stats": self.stage_stats}
         report: dict[str, int] = {}
@@ -146,9 +156,9 @@ class CorpusPipeline:
             fns[stage]()
             n = self.store.current_snapshot(self._STAGE_OUT[stage]).row_count
             report[stage] = n
-            rows.append((stage, n, max(prev - n, 0)))
+            rows.append((stage, prev, n))
             prev = n
         metrics = self.spark.createDataFrame(
-            rows, "stage string, rows_out long, rows_dropped long")
+            rows, "stage string, rows_in long, rows_out long")
         self.store.write(metrics, "corpus_metrics")
         return report

@@ -48,14 +48,30 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     assert ids == [1, 2, 3]
     scrubbed = corpus.filter(F.col("doc_id") == 3).collect()[0].text
     assert "<EMAIL>" in scrubbed and "bob@example.com" not in scrubbed
-    # survivorship metrics: every stage accounted for, no silent loss
-    m = {r.stage: (r.rows_out, r.rows_dropped)
+    # survivorship metrics: every stage accounted for — SIGNED in/out
+    # counts so row-gaining anomalies are as visible as drops
+    m = {r.stage: (r.rows_in, r.rows_out)
          for r in st.read(spark, "corpus_metrics").collect()}
-    assert m["clean"] == (7, 0)
-    assert m["dedup"] == (5, 2)      # exact dup + near dup
-    assert m["filter"] == (3, 2)     # lang + length
-    assert m["stats"] == (3, 0)
+    assert m["clean"] == (7, 7)
+    assert m["dedup"] == (7, 5)      # exact dup + near dup
+    assert m["filter"] == (5, 3)     # lang + length
+    assert m["stats"] == (3, 3)
     assert report["filter"] == 3
+
+
+def test_near_dup_survivor_is_numeric_min(spark, tmp_path):
+    """The near-dup survivor is the NUMERIC min doc id — ids must not be
+    compared as strings, where '10' < '9' and '1000005' < '5' would keep
+    the wrong doc of a pair."""
+    rows = [(9, GOOD + " same"), (10, GOOD + " same extra tail"),
+            (5, GOOD2 + " other"), (1000005, GOOD2 + " other extra tail")]
+    st = TableStore(str(tmp_path / "kbn"))
+    st.write(spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])), "documents")
+    CorpusPipeline(spark, st, CorpusConfig(
+        jaccard_threshold=0.7, languages=("en",), min_tokens=5)).run()
+    ids = sorted(r.doc_id for r in st.read(spark, "docs_dedup").collect())
+    assert ids == [5, 9]
 
 
 def test_corpus_pipeline_near_dup_toggle(spark, tmp_path):
