@@ -42,6 +42,12 @@ class PipelineConfig:
     cc_algorithm: str = "label-propagation"
     source_name: str = "transcripts"
     similarity_scoring: bool = False
+    # >0 enables incremental ingest at scale: stage-1 outputs carry a
+    # conv-hash bucket column and are PARTITIONED by it, so
+    # ingest_increment's per-conversation MERGE rewrites only the
+    # touched buckets (storage.TableStore pruned merge) instead of the
+    # whole table. 0 = unbucketed (full-rewrite merges, still correct).
+    partition_buckets: int = 0
     extra: dict = field(default_factory=dict)
 
     def fingerprint(self) -> str:
@@ -52,6 +58,7 @@ class PipelineConfig:
              "cc_algorithm": self.cc_algorithm,
              "source_name": self.source_name,
              "similarity_scoring": self.similarity_scoring,
+             "partition_buckets": self.partition_buckets,
              "extra": self.extra},
             sort_keys=True)
         return hashlib.sha256(payload.encode()).hexdigest()[:16]
@@ -198,6 +205,29 @@ class KGPipeline:
         return self.spark.createDataFrame(
             pd.DataFrame({"term": list(self.config.blacklist)}))
 
+    def _bucket(self, df: DataFrame) -> DataFrame:
+        """conv-hash bucket column (deterministic from conv_id alone, so
+        it can be recomputed on any derived table instead of threaded
+        through operators)."""
+        return df.withColumn(
+            "bucket", F.pmod(F.xxhash64("conv_id"),
+                             F.lit(self.config.partition_buckets)))
+
+    def _write_stage1(self, df: DataFrame, table: str) -> None:
+        """Commit a stage-1 output: bucketed + partitioned when
+        ``partition_buckets`` is on (what lets ingest_increment's merges
+        prune), plain otherwise."""
+        if self.config.partition_buckets > 0:
+            self.store.write(self._bucket(df), table, partition_by=["bucket"])
+        else:
+            self.store.write(df, table)
+
+    def write_transcripts(self, transcripts: DataFrame) -> None:
+        """Initial load helper: commit the transcripts table with the
+        same bucket layout stage-1 outputs use, so later increments
+        merge pruned from the very first batch."""
+        self._write_stage1(transcripts, "transcripts")
+
     def stage_extract(self) -> None:
         transcripts = self.store.read(self.spark, "transcripts")
         # conv_id partitioning (north_star): spreads hot conversations'
@@ -207,21 +237,71 @@ class KGPipeline:
         par = self.spark.sparkContext.defaultParallelism
         transcripts = transcripts.repartition(par, "conv_id")
         triples = ex.extract_triples(transcripts, self._blacklist_df())
-        self.store.write(triples, "triples")
+        self._write_stage1(triples, "triples")
         triples = self.store.read(self.spark, "triples")  # re-read: cut lineage
-        mentions = ex.mentions_from_triples(triples)
-        self.store.write(mentions, "mentions")
-        folded = ex.fold_mentions(self.store.read(self.spark, "mentions"))
-        self.store.write(folded, "folded_mentions")
+        mentions = ex.mentions_from_triples(triples.drop("bucket"))
+        self._write_stage1(mentions, "mentions")
+        folded = ex.fold_mentions(
+            self.store.read(self.spark, "mentions").drop("bucket"))
+        self._write_stage1(folded, "folded_mentions")
         self._write_metrics("extract", self.store.read(self.spark, "triples"),
                             "triples")
 
+    def ingest_increment(self, new_transcripts: DataFrame) -> dict:
+        """Incremental re-import (the reference's idempotent
+        ``collection.has(key)`` re-run, Readme.md:261-265, done as
+        MERGEs): extraction runs over ONLY the new batch, each stage-1
+        table gets a per-conversation replacement merge (all rows of an
+        incoming conv_id replaced — extraction and same-name folding are
+        per-conversation, so incremental == batch by construction), and
+        the extract stage is recorded fresh so the subsequent ``run``
+        executes just link + canonicalize (whose cost scales with the
+        folded mention table, not raw turns).
+
+        With ``partition_buckets`` on, every merge is partition-PRUNED:
+        a 10^12-turn corpus absorbs a batch by rewriting only the
+        buckets the batch's conversations hash into. Returns the stage
+        report of the follow-up run (extract: "skipped").
+        """
+        t0 = time.time()
+        nb = new_transcripts.repartition(
+            self.spark.sparkContext.defaultParallelism, "conv_id")
+        keys = (["bucket", "conv_id"]
+                if self.config.partition_buckets > 0 else ["conv_id"])
+
+        def merge1(df: DataFrame, table: str) -> None:
+            if self.config.partition_buckets > 0:
+                df = self._bucket(df)
+            self.store.merge(df, table, key_cols=keys)
+
+        merge1(new_transcripts, "transcripts")
+        triples = ex.extract_triples(nb, self._blacklist_df())
+        merge1(triples, "triples")
+        mentions = ex.mentions_from_triples(triples)
+        merge1(mentions, "mentions")
+        merge1(ex.fold_mentions(mentions), "folded_mentions")
+
+        # the merged outputs ARE the extract stage's outputs for the new
+        # input state — record the manifest so run() skips re-extraction
+        in_tables, out_tables = self._STAGE_IO["extract"]
+        inputs = self._input_snapshot_ids(in_tables)
+        outputs = self._input_snapshot_ids(out_tables)
+        rows = {t: self.store.current_snapshot(t).row_count
+                for t in out_tables}
+        self._record_stage("extract", inputs, outputs,
+                           time.time() - t0, rows)
+        self._write_metrics("extract", self.store.read(self.spark, "triples"),
+                            "triples")
+        return self.run(resume=True)
+
     def stage_link(self) -> None:
-        folded = self.store.read(self.spark, "folded_mentions")
+        # bucket is a storage-layout column (incremental merge pruning)
+        # — keep it out of the relational stages
+        folded = self.store.read(self.spark, "folded_mentions").drop("bucket")
         auth = self.store.read(self.spark, "authority_entities")
         ids = (self.store.read(self.spark, "authority_ids")
                if self.store.exists("authority_ids") else None)
-        triples = self.store.read(self.spark, "triples")
+        triples = self.store.read(self.spark, "triples").drop("bucket")
         if self.config.similarity_scoring:
             cands = lk.generate_candidates(folded, auth, ids, triples)
             cands = lk.score_candidates_similarity(cands, auth)
@@ -242,7 +322,7 @@ class KGPipeline:
 
     def stage_canonicalize(self) -> None:
         linked = self.store.read(self.spark, "linked_mentions")
-        triples = self.store.read(self.spark, "triples")
+        triples = self.store.read(self.spark, "triples").drop("bucket")
         auth = self.store.read(self.spark, "authority_entities")
         canon = cz.canonical_map(linked, max_iter=self.config.cc_max_iter,
                                  algorithm=self.config.cc_algorithm,
