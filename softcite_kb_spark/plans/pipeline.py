@@ -208,10 +208,14 @@ class KGPipeline:
     def _bucket(self, df: DataFrame) -> DataFrame:
         """conv-hash bucket column (deterministic from conv_id alone, so
         it can be recomputed on any derived table instead of threaded
-        through operators)."""
+        through operators), REPARTITIONED by it: each write task owns
+        whole buckets, so a partitioned commit emits O(buckets) files
+        instead of O(buckets x shuffle_partitions) — the small-file
+        problem is the first thing a bucketed layout hits at scale."""
+        n = self.config.partition_buckets
         return df.withColumn(
-            "bucket", F.pmod(F.xxhash64("conv_id"),
-                             F.lit(self.config.partition_buckets)))
+            "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(n))
+        ).repartition(n, F.col("bucket"))
 
     def _write_stage1(self, df: DataFrame, table: str) -> None:
         """Commit a stage-1 output: bucketed + partitioned when
@@ -249,40 +253,64 @@ class KGPipeline:
 
     def ingest_increment(self, new_transcripts: DataFrame) -> dict:
         """Incremental re-import (the reference's idempotent
-        ``collection.has(key)`` re-run, Readme.md:261-265, done as
-        MERGEs): extraction runs over ONLY the new batch, each stage-1
-        table gets a per-conversation replacement merge (all rows of an
-        incoming conv_id replaced — extraction and same-name folding are
-        per-conversation, so incremental == batch by construction), and
-        the extract stage is recorded fresh so the subsequent ``run``
+        ``collection.has(key)`` re-run, Readme.md:261-265, made
+        transactional): extraction runs over ONLY the new batch, and the
+        extract stage is recorded fresh so the subsequent ``run``
         executes just link + canonicalize (whose cost scales with the
-        folded mention table, not raw turns).
+        folded mention table, not raw turns — the existing corpus is
+        never re-extracted).
 
-        With ``partition_buckets`` on, every merge is partition-PRUNED:
-        a 10^12-turn corpus absorbs a batch by rewriting only the
-        buckets the batch's conversations hash into. Returns the stage
-        report of the follow-up run (extract: "skipped").
+        Commit shape matches the batch's nature:
+
+          * all-NEW conversations (the append-mostly common case for a
+            transcript firehose) -> fast-APPEND commits: prior files
+            hardlinked, I/O is O(batch), regardless of how the batch's
+            conversations hash across buckets;
+          * any REPLACED conversation -> per-conversation replacement
+            MERGE on every stage-1 table (all rows of an incoming
+            conv_id replaced — extraction and same-name folding are
+            per-conversation, so incremental == batch by construction);
+            partition-pruned under ``partition_buckets`` when the batch
+            touches few buckets.
+
+        Returns the stage report of the follow-up run
+        (extract: "skipped").
         """
+        from softcite_kb_spark.materialize import (
+            local_checkpoint_materializer)
+
         t0 = time.time()
+        mat = self.materializer or local_checkpoint_materializer
         nb = new_transcripts.repartition(
             self.spark.sparkContext.defaultParallelism, "conv_id")
+        existing = (self.store.read(self.spark, "transcripts")
+                    .select("conv_id").distinct())
+        replaced_any = not (
+            new_transcripts.select("conv_id").distinct()
+            .join(existing, "conv_id", "left_semi").isEmpty())
         keys = (["bucket", "conv_id"]
                 if self.config.partition_buckets > 0 else ["conv_id"])
 
-        def merge1(df: DataFrame, table: str) -> None:
+        def commit1(df: DataFrame, table: str) -> None:
             if self.config.partition_buckets > 0:
                 df = self._bucket(df)
-            self.store.merge(df, table, key_cols=keys)
+            if replaced_any:
+                self.store.merge(df, table, key_cols=keys)
+            else:
+                self.store.append(df, table)
 
-        merge1(new_transcripts, "transcripts")
-        triples = ex.extract_triples(nb, self._blacklist_df())
-        merge1(triples, "triples")
-        mentions = ex.mentions_from_triples(triples)
-        merge1(mentions, "mentions")
-        merge1(ex.fold_mentions(mentions), "folded_mentions")
+        # materialize the batch's stage-1 outputs once: each feeds the
+        # next AND its own commit (merge evaluates its input twice)
+        triples = mat(ex.extract_triples(nb, self._blacklist_df()))
+        mentions = mat(ex.mentions_from_triples(triples))
+        commit1(new_transcripts, "transcripts")
+        commit1(triples, "triples")
+        commit1(mentions, "mentions")
+        commit1(ex.fold_mentions(mentions), "folded_mentions")
 
-        # the merged outputs ARE the extract stage's outputs for the new
-        # input state — record the manifest so run() skips re-extraction
+        # the committed outputs ARE the extract stage's outputs for the
+        # new input state — record the manifest so run() skips
+        # re-extraction
         in_tables, out_tables = self._STAGE_IO["extract"]
         inputs = self._input_snapshot_ids(in_tables)
         outputs = self._input_snapshot_ids(out_tables)
@@ -290,8 +318,10 @@ class KGPipeline:
                 for t in out_tables}
         self._record_stage("extract", inputs, outputs,
                            time.time() - t0, rows)
-        self._write_metrics("extract", self.store.read(self.spark, "triples"),
-                            "triples")
+        # metrics roll up the BATCH's rows (this commit's lineage) — a
+        # full-table re-scan here would put an O(corpus) cost inside
+        # every O(batch) increment
+        self._write_metrics("extract", triples, "triples")
         return self.run(resume=True)
 
     def stage_link(self) -> None:

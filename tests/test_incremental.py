@@ -72,16 +72,53 @@ def test_incremental_equals_batch(spark, corpus_tables, tmp_path):
     # the increment did NOT re-extract the corpus...
     assert report["extract"] == "skipped"
     assert report["link"] == "ran" and report["canonicalize"] == "ran"
-    # ...and every stage-1 merge pruned (bucketed layout)
+    # ...and an all-new-conversations batch took the fast-APPEND path
+    # (O(batch) I/O — prior files hardlinked, nothing rewritten)
     for t in ("transcripts", "triples", "mentions", "folded_mentions"):
         props = st_inc.current_snapshot(t).properties
-        assert props["merge_mode"] == "pruned", (t, props)
+        assert props["operation"] == "append", (t, props)
 
     # identical KB, table by table
     for t in ("triples", "mentions", "folded_mentions",
               "statements", "nodes", "edges"):
         assert _table_hash(spark, st_full, t) == \
             _table_hash(spark, st_inc, t), f"{t} diverged"
+
+
+def test_increment_replaces_conversations(spark, corpus_tables, tmp_path):
+    """A batch containing EXISTING conv_ids takes the merge path: those
+    conversations' rows are replaced wholesale, and the resulting KB
+    equals a from-scratch batch run over the modified corpus."""
+    dfs = _load(spark, corpus_tables)
+    some = [r.conv_id for r in dfs["transcripts"].select("conv_id")
+            .distinct().orderBy("conv_id").limit(5).collect()]
+    modified = dfs["transcripts"].withColumn(
+        "text",
+        F.when(F.col("conv_id").isin(some),
+               F.lit("We ran Statlib v9.9 on the cluster."))
+        .otherwise(F.col("text")))
+
+    st_ref = TableStore(str(tmp_path / "ref"))
+    pipe_ref = KGPipeline(spark, st_ref, _cfg())
+    pipe_ref.write_transcripts(modified)
+    for n in ("authority_entities", "authority_ids"):
+        st_ref.write(dfs[n], n)
+    pipe_ref.run(resume=False)
+
+    st = TableStore(str(tmp_path / "inc"))
+    pipe = KGPipeline(spark, st, _cfg())
+    pipe.write_transcripts(dfs["transcripts"])
+    for n in ("authority_entities", "authority_ids"):
+        st.write(dfs[n], n)
+    pipe.run(resume=False)
+    rep = pipe.ingest_increment(modified.filter(F.col("conv_id").isin(some)))
+    assert rep["extract"] == "skipped"
+    for t in ("transcripts", "triples", "mentions", "folded_mentions"):
+        props = st.current_snapshot(t).properties
+        assert props["operation"] == "merge", (t, props)
+    for t in ("triples", "mentions", "folded_mentions",
+              "statements", "nodes", "edges"):
+        assert _table_hash(spark, st_ref, t) == _table_hash(spark, st, t), t
 
 
 def test_increment_idempotent(spark, corpus_tables, tmp_path):
