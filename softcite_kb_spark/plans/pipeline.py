@@ -276,6 +276,21 @@ class KGPipeline:
         Returns the stage report of the follow-up run
         (extract: "skipped").
         """
+        self.ingest_stage1(new_transcripts)
+        return self.run(resume=True)
+
+    def ingest_stage1(self, new_transcripts: DataFrame) -> None:
+        """The stage-1 half of :meth:`ingest_increment`: extract + commit
+        the batch WITHOUT running link/canonicalize — what a streaming
+        micro-batch sink calls per trigger (downstream stages run on
+        demand, amortized over many batches; see
+        streaming.ingest.run_kg_ingest_stream).
+
+        Crash/replay-idempotent BY the append/merge split: a replayed
+        batch finds its conv_ids already present and takes the
+        per-conversation replacement merge, converging to the same
+        table state no matter where a previous attempt died.
+        """
         from softcite_kb_spark.materialize import (
             local_checkpoint_materializer)
 
@@ -283,15 +298,25 @@ class KGPipeline:
         mat = self.materializer or local_checkpoint_materializer
         nb = new_transcripts.repartition(
             self.spark.sparkContext.defaultParallelism, "conv_id")
-        existing = (self.store.read(self.spark, "transcripts")
-                    .select("conv_id").distinct())
-        replaced_any = not (
-            new_transcripts.select("conv_id").distinct()
-            .join(existing, "conv_id", "left_semi").isEmpty())
+        if self.store.exists("transcripts"):
+            existing = (self.store.read(self.spark, "transcripts")
+                        .select("conv_id").distinct())
+            replaced_any = not (
+                new_transcripts.select("conv_id").distinct()
+                .join(existing, "conv_id", "left_semi").isEmpty())
+        else:
+            # first batch into an empty store: the commits below create
+            # the tables (append/merge both fall back to write)
+            replaced_any = False
         keys = (["bucket", "conv_id"]
                 if self.config.partition_buckets > 0 else ["conv_id"])
 
         def commit1(df: DataFrame, table: str) -> None:
+            if not self.store.exists(table):
+                # bootstrap (streaming into an empty store): the first
+                # commit must establish the bucketed PARTITION layout,
+                # not just the bucket column, or no later merge prunes
+                return self._write_stage1(df, table)
             if self.config.partition_buckets > 0:
                 df = self._bucket(df)
             if replaced_any:
@@ -322,7 +347,6 @@ class KGPipeline:
         # full-table re-scan here would put an O(corpus) cost inside
         # every O(batch) increment
         self._write_metrics("extract", triples, "triples")
-        return self.run(resume=True)
 
     def stage_link(self) -> None:
         # bucket is a storage-layout column (incremental merge pruning)

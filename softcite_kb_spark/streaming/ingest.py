@@ -213,6 +213,34 @@ def run_conversation_stats_stream(stream: DataFrame, out_dir: str,
     )
 
 
+def run_kg_ingest_stream(pipeline, stream: DataFrame,
+                         checkpoint_dir: str):
+    """Micro-batch KG ingestion into the pipeline's snapshot store:
+    each trigger flows through ``KGPipeline.ingest_stage1`` — batch-only
+    extraction + append/merge commits into the SAME bucketed stage-1
+    tables the batch pipeline owns. Downstream link/canonicalize run on
+    demand (``pipeline.run(resume=True)``), amortized over many
+    batches, exactly like the batch increment.
+
+    Exactly-once comes from ingest_stage1's own idempotence (a replayed
+    batch finds its conv_ids present and takes the replacement-merge
+    path) + the streaming checkpoint; no extra sink bookkeeping needed.
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pipeline.ingest_stage1(batch_df)
+
+    return (
+        stream.writeStream
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_turn_rate_stream(stream: DataFrame, out_dir: str,
                          checkpoint_dir: str):
     rates = conversation_turn_rates(stream)

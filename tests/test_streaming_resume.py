@@ -139,3 +139,62 @@ def test_extract_stream_killed_midway_matches_batch(spark, tmp_path):
     assert streamed.count() == batch.count()
     assert streamed.exceptAll(batch).isEmpty()
     assert batch.exceptAll(streamed).isEmpty()
+
+
+def test_kg_ingest_stream_matches_batch(spark, tmp_path):
+    """Micro-batch KG ingestion (run_kg_ingest_stream): transcripts
+    stream into the pipeline's bucketed store batch by batch — including
+    a mid-stream kill + checkpoint restart — and after the on-demand
+    downstream run the KB equals a from-scratch batch pipeline over the
+    same turns."""
+    from softcite_kb_spark.plans.pipeline import KGPipeline, PipelineConfig
+    from softcite_kb_spark.storage import TableStore
+    from softcite_kb_spark.streaming.ingest import run_kg_ingest_stream
+
+    ind = str(tmp_path / "in")
+    chk = str(tmp_path / "chk")
+    for b in range(6):
+        _write_batch(
+            spark, ind,
+            [f"Tool{b * 4 + i} depends on Lib{(b * 4 + i) % 7}."
+             for i in range(4)],
+            start_idx=b * 4)
+
+    from softcite_kb_spark import datagen
+
+    auth = datagen.build_corpus(n_conversations=5)
+    cfg = PipelineConfig(min_vote_total=1, partition_buckets=4)
+    st = TableStore(str(tmp_path / "kb"))
+    for n in ("authority_entities", "authority_ids"):
+        st.write(spark.createDataFrame(auth[n]), n)
+    pipe = KGPipeline(spark, st, cfg)
+    q = run_kg_ingest_stream(
+        pipe, read_transcript_stream(spark, ind, max_files_per_trigger=1),
+        chk)
+    # kill at the first committed table, restart from the checkpoint
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if st.exists("triples"):
+            break
+        time.sleep(0.2)
+    q.stop()
+    q2 = run_kg_ingest_stream(
+        pipe, read_transcript_stream(spark, ind, max_files_per_trigger=1),
+        chk)
+    _await(q2)
+    report = pipe.run(resume=True)          # downstream on demand
+    assert report["extract"] == "skipped"
+
+    # batch reference over the same turns
+    st_ref = TableStore(str(tmp_path / "ref"))
+    ref = KGPipeline(spark, st_ref, cfg)
+    ref.write_transcripts(spark.read.parquet(ind))
+    for n in ("authority_entities", "authority_ids"):
+        st_ref.write(spark.createDataFrame(auth[n]), n)
+    ref.run(resume=False)
+
+    for t in ("triples", "folded_mentions", "nodes", "edges"):
+        a = st.read(spark, t).drop("bucket")
+        b = st_ref.read(spark, t).drop("bucket")
+        assert a.count() == b.count(), t
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), t
