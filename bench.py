@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -110,7 +111,11 @@ def main() -> None:
     # headline component and a single-shot run is hostage to load bursts
     dt = None
     for rep in range(2):
-        store = TableStore(os.path.join(work, f"kb_{int(time.time())}_{rep}"))
+        # fixed names, cleared per run (timestamped dirs would leak a KB
+        # store per rep per bench invocation)
+        rep_root = os.path.join(work, f"kb_rep{rep}")
+        shutil.rmtree(rep_root, ignore_errors=True)
+        store = TableStore(rep_root)
         for n in ("transcripts", "authority_entities", "authority_ids"):
             store.write(
                 spark.read.parquet(os.path.join(corpus_dir, f"{n}.parquet")), n)
@@ -134,7 +139,11 @@ def main() -> None:
     convs = [r.conv_id for r in t_all.select("conv_id").distinct().collect()]
     convs.sort()
     head = set(convs[: int(len(convs) * 0.95)])
-    inc_store = TableStore(os.path.join(work, f"inc_{int(time.time())}"))
+    # fixed name, cleared per run — a timestamped dir would leak one
+    # full KB store into /tmp per bench invocation
+    inc_root = os.path.join(work, "inc_store")
+    shutil.rmtree(inc_root, ignore_errors=True)
+    inc_store = TableStore(inc_root)
     inc_pipe = KGPipeline(
         spark, inc_store,
         PipelineConfig(blacklist=tuple(datagen.BLACKLIST), min_vote_total=1,

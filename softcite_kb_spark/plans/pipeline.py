@@ -286,52 +286,131 @@ class KGPipeline:
         demand, amortized over many batches; see
         streaming.ingest.run_kg_ingest_stream).
 
-        Crash/replay-idempotent BY the append/merge split: a replayed
-        batch finds its conv_ids already present and takes the
-        per-conversation replacement merge, converging to the same
-        table state no matter where a previous attempt died.
+        Semantics and cost model:
+
+          * transcripts — TURN-level upsert (key includes turn_idx): a
+            conversation whose turns arrive across several micro-batches
+            ACCUMULATES; a re-sent turn is replaced. (A conversation can
+            only grow or change turns, never shrink — deleting turns is
+            a maintenance operation, matching the reference's
+            add-or-update ``collection.has(key)`` semantics.)
+          * derived tables — recomputed per affected conversation from
+            the conversation's FULL post-merge turn set (read back from
+            the store, bucket-pruned), then committed as a
+            per-conversation replacement merge whose ``delete_keys``
+            evict conversations whose new content yields ZERO rows.
+          * brand-new conversations take fast-APPEND commits (O(batch)
+            I/O); only the replaced slice pays merge I/O — one re-imported
+            conversation does not drag the whole batch through merges.
+          * the previously-seen check reads only the batch's BUCKETS of
+            the transcripts table (partition-pruned), not the corpus.
+
+        Replay-idempotent: a replayed batch finds its conv_ids present,
+        takes the replacement path, and converges to the same state no
+        matter where a previous attempt died (appends themselves assemble
+        in a staging dir and rename — see TableStore.append).
         """
         from softcite_kb_spark.materialize import (
             local_checkpoint_materializer)
 
         t0 = time.time()
         mat = self.materializer or local_checkpoint_materializer
-        nb = new_transcripts.repartition(
-            self.spark.sparkContext.defaultParallelism, "conv_id")
-        if self.store.exists("transcripts"):
-            existing = (self.store.read(self.spark, "transcripts")
-                        .select("conv_id").distinct())
-            replaced_any = not (
-                new_transcripts.select("conv_id").distinct()
-                .join(existing, "conv_id", "left_semi").isEmpty())
+        par = self.spark.sparkContext.defaultParallelism
+        n_buckets = self.config.partition_buckets
+        bootstrap = not self.store.exists("transcripts")
+        fp = self.config.fingerprint()
+        manifest = self._load_manifest()
+        if not bootstrap and self.store.current_snapshot(
+                "transcripts").row_count > 0:
+            # the pre-existing corpus must have been extracted, under
+            # THIS config — otherwise stamping extract "fresh" below
+            # would silently skip extraction of never-extracted (or
+            # stale-config) conversations. The _ingest marker (written
+            # below, BEFORE any commit) keeps crash-REPLAYS of a prior
+            # ingest attempt admissible: the replay converges via the
+            # replacement path even if the crash landed between the
+            # first commit and the manifest record.
+            m = manifest.get("extract")
+            prior_ok = m is not None and m["config"] == fp
+            marker_ok = manifest.get("_ingest", {}).get("config") == fp
+            if not (prior_ok or marker_ok):
+                raise RuntimeError(
+                    "ingest into a store whose existing transcripts were "
+                    "never extracted under the current config — run() "
+                    "first, then ingest increments")
+        manifest["_ingest"] = {"config": fp, "started_at": time.time()}
+        self._save_manifest(manifest)
+
+        batch_keys = mat(new_transcripts.select("conv_id").distinct())
+        if bootstrap:
+            replaced_keys = None
         else:
-            # first batch into an empty store: the commits below create
-            # the tables (append/merge both fall back to write)
-            replaced_any = False
-        keys = (["bucket", "conv_id"]
-                if self.config.partition_buckets > 0 else ["conv_id"])
+            cur_t = self.store.read(self.spark, "transcripts")
+            if n_buckets > 0:
+                bks = [r[0] for r in batch_keys.select(
+                    F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
+                    .alias("b")).distinct().collect()]
+                # partition-pruned: only the batch's buckets are read,
+                # keeping the seen-before check O(touched buckets)
+                cur_t = cur_t.filter(F.col("bucket").isin(bks))
+            replaced_keys = mat(batch_keys.join(
+                cur_t.select("conv_id").distinct(), "conv_id", "left_semi"))
+            if replaced_keys.isEmpty():
+                replaced_keys = None
+        keys = (["bucket", "conv_id"] if n_buckets > 0 else ["conv_id"])
 
-        def commit1(df: DataFrame, table: str) -> None:
+        def with_bucket(df: DataFrame) -> DataFrame:
+            return self._bucket(df) if n_buckets > 0 else df
+
+        def commit_append(df: DataFrame, table: str) -> None:
             if not self.store.exists(table):
-                # bootstrap (streaming into an empty store): the first
-                # commit must establish the bucketed PARTITION layout,
-                # not just the bucket column, or no later merge prunes
-                return self._write_stage1(df, table)
-            if self.config.partition_buckets > 0:
-                df = self._bucket(df)
-            if replaced_any:
-                self.store.merge(df, table, key_cols=keys)
+                # bootstrap: the first commit must establish the bucketed
+                # PARTITION layout, not just the bucket column, or no
+                # later merge prunes
+                self._write_stage1(df, table)
             else:
-                self.store.append(df, table)
+                self.store.append(with_bucket(df), table)
 
-        # materialize the batch's stage-1 outputs once: each feeds the
-        # next AND its own commit (merge evaluates its input twice)
-        triples = mat(ex.extract_triples(nb, self._blacklist_df()))
-        mentions = mat(ex.mentions_from_triples(triples))
-        commit1(new_transcripts, "transcripts")
-        commit1(triples, "triples")
-        commit1(mentions, "mentions")
-        commit1(ex.fold_mentions(mentions), "folded_mentions")
+        new_batch = (new_transcripts if replaced_keys is None
+                     else new_transcripts.join(replaced_keys, "conv_id",
+                                               "left_anti"))
+        new_triples = None
+        if replaced_keys is None or not new_batch.isEmpty():
+            nb = new_batch.repartition(par, "conv_id")
+            new_triples = mat(ex.extract_triples(nb, self._blacklist_df()))
+            new_mentions = mat(ex.mentions_from_triples(new_triples))
+            commit_append(new_batch, "transcripts")
+            commit_append(new_triples, "triples")
+            commit_append(new_mentions, "mentions")
+            commit_append(ex.fold_mentions(new_mentions), "folded_mentions")
+
+        repl_triples = None
+        if replaced_keys is not None:
+            repl_batch = new_transcripts.join(replaced_keys, "conv_id",
+                                              "left_semi")
+            # turn-level upsert FIRST, so the derived recompute below
+            # reads each conversation's full post-merge turn set
+            self.store.merge(with_bucket(repl_batch), "transcripts",
+                             key_cols=keys + ["turn_idx"])
+            full_convs = self.store.read(self.spark, "transcripts")
+            if n_buckets > 0:
+                # bucket-pruned read: only the replaced convs' buckets
+                full_convs = full_convs.filter(F.col("bucket").isin(bks))
+            full_convs = (full_convs
+                          .join(replaced_keys, "conv_id", "left_semi")
+                          .drop("bucket")
+                          .repartition(par, "conv_id"))
+            repl_triples = mat(ex.extract_triples(full_convs,
+                                                  self._blacklist_df()))
+            repl_mentions = mat(ex.mentions_from_triples(repl_triples))
+            dkeys = with_bucket(replaced_keys)
+            self.store.merge(with_bucket(repl_triples), "triples",
+                             key_cols=keys, delete_keys=dkeys)
+            self.store.merge(with_bucket(repl_mentions), "mentions",
+                             key_cols=keys, delete_keys=dkeys)
+            self.store.merge(with_bucket(ex.fold_mentions(repl_mentions)),
+                             "folded_mentions", key_cols=keys,
+                             delete_keys=dkeys)
 
         # the committed outputs ARE the extract stage's outputs for the
         # new input state — record the manifest so run() skips
@@ -346,7 +425,10 @@ class KGPipeline:
         # metrics roll up the BATCH's rows (this commit's lineage) — a
         # full-table re-scan here would put an O(corpus) cost inside
         # every O(batch) increment
-        self._write_metrics("extract", triples, "triples")
+        metric_df = (new_triples if repl_triples is None else
+                     repl_triples if new_triples is None else
+                     new_triples.unionByName(repl_triples))
+        self._write_metrics("extract", metric_df, "triples")
 
     def stage_link(self) -> None:
         # bucket is a storage-layout column (incremental merge pruning)

@@ -133,6 +133,7 @@ class TableStore:
         table: str,
         key_cols: list[str],
         properties: dict[str, Any] | None = None,
+        delete_keys: DataFrame | None = None,
     ) -> Snapshot:
         """Upsert semantics (Iceberg ``MERGE INTO`` analog): rows in ``df``
         replace current rows with the same key; unmatched current rows are
@@ -155,12 +156,23 @@ class TableStore:
         snapshot properties as ``merge_mode`` (+ ``merge_fallback_reason``
         when a partitioned table fell back anyway: at scale a silent
         full-rewrite merge is the failure mode to monitor for).
+
+        ``delete_keys`` (Iceberg ``WHEN NOT MATCHED BY SOURCE ... THEN
+        DELETE`` analog): a DataFrame carrying ``key_cols`` columns
+        whose keys are REMOVED from the table even when ``df`` has no
+        replacement rows for them — e.g. a re-imported conversation
+        whose new content yields zero derived rows must still evict its
+        old derived rows. Its keys count toward partition pruning.
         """
         if not self.exists(table):
             return self.write(df, table, properties)
         props = dict(properties or {})
         props["operation"] = "merge"
         props["merge_keys"] = key_cols
+        key_universe = df.select(*key_cols).distinct()
+        if delete_keys is not None:
+            key_universe = key_universe.unionByName(
+                delete_keys.select(*key_cols).distinct()).distinct()
 
         snap = self.current_snapshot(table)
         part_by = (snap.properties or {}).get("partition_by") or []
@@ -180,8 +192,10 @@ class TableStore:
             prunable = True
         affected: list = []
         if prunable:
+            # partitions touched by REPLACEMENTS and DELETIONS alike — a
+            # delete-only key's bucket must be rewritten too
             affected = [tuple(r) for r in
-                        df.select(*part_by).distinct().collect()]
+                        key_universe.select(*part_by).distinct().collect()]
             # a NULL partition value defeats both the equality prune (NULL
             # comparison -> NULL -> old NULL-partition rows silently
             # dropped) and the __HIVE_DEFAULT_PARTITION__ directory carry-
@@ -202,7 +216,7 @@ class TableStore:
                     f"prune limit {self._MAX_PRUNED_PARTITIONS}")
         if not prunable:
             current = self.read(df.sparkSession, table)
-            kept = self._anti_by_keys(current, df, key_cols)
+            kept = self._anti_by_keys(current, key_universe, key_cols)
             merged = kept.unionByName(df)
             props["merge_mode"] = "full-rewrite"
             if fallback_reason:
@@ -225,7 +239,7 @@ class TableStore:
                 c = eq if c is None else (c & eq)
             cond = cond | c
         current_affected = self.read(df.sparkSession, table).filter(cond)
-        kept = self._anti_by_keys(current_affected, df, key_cols)
+        kept = self._anti_by_keys(current_affected, key_universe, key_cols)
         merged_affected = kept.unionByName(df)
 
         meta = self._load_meta(table)
@@ -293,22 +307,32 @@ class TableStore:
         sid = (meta["current"] or 0) + 1
         data_dir = os.path.join(self.root, table, f"snap-{sid:05d}")
         tmp = data_dir + ".tmp-append"
+        stage = data_dir + ".assemble"
         writer = df.write.mode("overwrite")
         if part_by:
             writer = writer.partitionBy(*part_by)
         writer.parquet(tmp)
-        os.makedirs(data_dir, exist_ok=True)
-        self._link_tree(snap.path, data_dir, suffix=".parquet")
+        # ASSEMBLE the snapshot in a staging dir and rename it into
+        # place: a crash mid-assembly must never leave a partially-built
+        # snap-N that a REPLAYED append (same sid, fresh part UUIDs)
+        # would silently pile more files onto — the meta pointer never
+        # referenced the crashed attempt, so both leftovers are safe to
+        # clear here
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(data_dir, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+        self._link_tree(snap.path, stage, suffix=".parquet")
         # move new files in, snapshot-prefixed (can never collide with the
         # linked files), preserving partition subdirectories
         for root, _dirs, files in os.walk(tmp):
             rel = os.path.relpath(root, tmp)
-            out = os.path.join(data_dir, rel) if rel != "." else data_dir
+            out = os.path.join(stage, rel) if rel != "." else stage
             os.makedirs(out, exist_ok=True)
             for f in files:
                 if f.endswith(".parquet"):
                     os.replace(os.path.join(root, f),
                                os.path.join(out, f"a{sid:05d}-{f}"))
+        os.rename(stage, data_dir)
         shutil.rmtree(tmp, ignore_errors=True)
         props = dict(properties or {})
         props["operation"] = "append"
@@ -354,10 +378,12 @@ class TableStore:
     @staticmethod
     def _anti_by_keys(current: DataFrame, incoming: DataFrame,
                       key_cols: list[str]) -> DataFrame:
-        """Current rows whose key does NOT appear in the incoming batch —
-        with NULL-SAFE key equality: a plain equi-anti-join would treat a
-        NULL key component as never-matching, silently keeping the old row
-        next to its replacement (duplicate keys after the merge)."""
+        """Current rows whose key does NOT appear in the incoming key
+        set (``incoming`` may be the batch itself or a precomputed key
+        universe) — with NULL-SAFE key equality: a plain equi-anti-join
+        would treat a NULL key component as never-matching, silently
+        keeping the old row next to its replacement (duplicate keys
+        after the merge)."""
         inc = incoming.select(*key_cols).distinct().alias("__inc")
         cur = current.alias("__cur")
         cond = None

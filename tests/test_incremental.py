@@ -29,18 +29,19 @@ def _load(spark, tables):
     return out
 
 
-def _table_hash(spark, store, name):
-    df = store.read(spark, name)
-    if "bucket" in df.columns:
-        df = df.drop("bucket")
-    cols = sorted(df.columns)
-    proj = [F.col(c).cast("string") for c in cols]
-    return (
-        df.select(F.sha2(F.concat_ws("\x1f", *proj), 256).alias("h"))
-        .agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10)
-                   .cast("decimal(38,0)")))
-        .collect()[0][0]
-    )
+def _assert_tables_equal(spark, store_a, store_b, name):
+    """EXACT multiset equality (exceptAll both ways + counts) — an
+    order-insensitive hash sum could false-pass on offsetting row
+    differences."""
+    a = store_a.read(spark, name)
+    b = store_b.read(spark, name)
+    if "bucket" in a.columns:
+        a = a.drop("bucket")
+    if "bucket" in b.columns:
+        b = b.drop("bucket")
+    assert a.count() == b.count(), name
+    assert a.exceptAll(b).isEmpty(), name
+    assert b.exceptAll(a).isEmpty(), name
 
 
 def test_incremental_equals_batch(spark, corpus_tables, tmp_path):
@@ -78,11 +79,10 @@ def test_incremental_equals_batch(spark, corpus_tables, tmp_path):
         props = st_inc.current_snapshot(t).properties
         assert props["operation"] == "append", (t, props)
 
-    # identical KB, table by table
+    # identical KB, table by table (exact multiset equality)
     for t in ("triples", "mentions", "folded_mentions",
               "statements", "nodes", "edges"):
-        assert _table_hash(spark, st_full, t) == \
-            _table_hash(spark, st_inc, t), f"{t} diverged"
+        _assert_tables_equal(spark, st_full, st_inc, t)
 
 
 def test_increment_replaces_conversations(spark, corpus_tables, tmp_path):
@@ -118,7 +118,7 @@ def test_increment_replaces_conversations(spark, corpus_tables, tmp_path):
         assert props["operation"] == "merge", (t, props)
     for t in ("triples", "mentions", "folded_mentions",
               "statements", "nodes", "edges"):
-        assert _table_hash(spark, st_ref, t) == _table_hash(spark, st, t), t
+        _assert_tables_equal(spark, st_ref, st, t)
 
 
 def test_increment_idempotent(spark, corpus_tables, tmp_path):
@@ -131,13 +131,139 @@ def test_increment_idempotent(spark, corpus_tables, tmp_path):
     for n in ("authority_entities", "authority_ids"):
         st.write(dfs[n], n)
     pipe.run(resume=False)
-    before = {t: _table_hash(spark, st, t)
-              for t in ("triples", "nodes", "edges", "statements")}
     some = dfs["transcripts"].filter(
         F.col("conv_id").isin([r.conv_id for r in dfs["transcripts"]
                                .select("conv_id").distinct().limit(5)
                                .collect()]))
+    import shutil as _sh
+    ref_root = str(tmp_path / "kb_before")
+    _sh.copytree(str(tmp_path / "kb"), ref_root)
+    st_before = TableStore(ref_root)
     pipe.ingest_increment(some)
-    after = {t: _table_hash(spark, st, t)
-             for t in ("triples", "nodes", "edges", "statements")}
-    assert before == after
+    for t in ("triples", "nodes", "edges", "statements"):
+        _assert_tables_equal(spark, st_before, st, t)
+
+
+def test_replacement_with_zero_yield_evicts_derived_rows(
+        spark, corpus_tables, tmp_path):
+    """A re-imported conversation whose NEW text extracts nothing must
+    evict its OLD derived rows (merge delete_keys) — otherwise phantom
+    triples survive and the KB diverges from a batch run."""
+    dfs = _load(spark, corpus_tables)
+    some = [r.conv_id for r in dfs["transcripts"].select("conv_id")
+            .distinct().orderBy("conv_id").limit(3).collect()]
+    # new text matches NO trigger pattern -> zero triples for these convs
+    modified = dfs["transcripts"].withColumn(
+        "text",
+        F.when(F.col("conv_id").isin(some), F.lit("hello plain world"))
+        .otherwise(F.col("text")))
+
+    st_ref = TableStore(str(tmp_path / "ref"))
+    pipe_ref = KGPipeline(spark, st_ref, _cfg())
+    pipe_ref.write_transcripts(modified)
+    for n in ("authority_entities", "authority_ids"):
+        st_ref.write(dfs[n], n)
+    pipe_ref.run(resume=False)
+
+    st = TableStore(str(tmp_path / "inc"))
+    pipe = KGPipeline(spark, st, _cfg())
+    pipe.write_transcripts(dfs["transcripts"])
+    for n in ("authority_entities", "authority_ids"):
+        st.write(dfs[n], n)
+    pipe.run(resume=False)
+    pipe.ingest_increment(modified.filter(F.col("conv_id").isin(some)))
+
+    # no phantom rows for the gutted conversations anywhere
+    for t in ("triples", "mentions", "folded_mentions"):
+        n = st.read(spark, t).filter(F.col("conv_id").isin(some)).count()
+        assert n == 0, (t, n)
+    for t in ("triples", "mentions", "folded_mentions",
+              "statements", "nodes", "edges"):
+        _assert_tables_equal(spark, st_ref, st, t)
+
+
+def test_split_conversation_accumulates_across_increments(
+        spark, corpus_tables, tmp_path):
+    """A conversation whose turns arrive across TWO increments must
+    accumulate (turn-level transcript upsert + derived recompute from
+    the full post-merge conversation) — not lose its earlier turns."""
+    dfs = _load(spark, corpus_tables)
+    st = TableStore(str(tmp_path / "kb"))
+    pipe = KGPipeline(spark, st, _cfg())
+    pipe.write_transcripts(dfs["transcripts"])
+    for n in ("authority_entities", "authority_ids"):
+        st.write(dfs[n], n)
+    pipe.run(resume=False)
+
+    import datetime as _dt
+    rows = [("cx9", 0, "user", "Alpha depends on Beta.", None,
+             _dt.datetime(2024, 1, 1, 0, 0, 0)),
+            ("cx9", 1, "assistant", "Gamma depends on Delta.", None,
+             _dt.datetime(2024, 1, 1, 0, 0, 10))]
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    part1 = spark.createDataFrame([rows[0]], schema)
+    part2 = spark.createDataFrame([rows[1]], schema)
+    pipe.ingest_increment(part1)
+    pipe.ingest_increment(part2)
+
+    got_turns = st.read(spark, "transcripts").filter(
+        F.col("conv_id") == "cx9")
+    assert got_turns.count() == 2                 # both turns survive
+    subj = {r.subj for r in st.read(spark, "triples")
+            .filter(F.col("conv_id") == "cx9").collect()}
+    assert subj == {"Alpha", "Gamma"}             # derived from BOTH turns
+
+
+def test_increment_into_unextracted_store_refuses(
+        spark, corpus_tables, tmp_path):
+    """Ingesting into a store whose existing transcripts were never
+    extracted must raise, not silently stamp the extract stage fresh
+    and skip the whole pre-loaded corpus."""
+    dfs = _load(spark, corpus_tables)
+    st = TableStore(str(tmp_path / "kb"))
+    pipe = KGPipeline(spark, st, _cfg())
+    pipe.write_transcripts(dfs["transcripts"])   # loaded, NOT extracted
+    batch = dfs["transcripts"].limit(4)
+    with pytest.raises(RuntimeError, match="never extracted"):
+        pipe.ingest_increment(batch)
+
+
+def test_mixed_batch_splits_append_and_merge(spark, corpus_tables, tmp_path):
+    """One replaced conversation must NOT drag a mostly-new batch through
+    the merge path: the new slice appends, only the replaced slice
+    merges (two commits per table), and the KB equals a batch run."""
+    dfs = _load(spark, corpus_tables)
+    convs = sorted(r.conv_id for r in
+                   dfs["transcripts"].select("conv_id").distinct().collect())
+    first = set(convs[:50])
+    t_a = dfs["transcripts"].filter(F.col("conv_id").isin(first))
+    replaced_id = convs[0]
+    batch = dfs["transcripts"].filter(
+        ~F.col("conv_id").isin(first)
+        | (F.col("conv_id") == replaced_id))
+
+    st_ref = TableStore(str(tmp_path / "ref"))
+    pr = KGPipeline(spark, st_ref, _cfg())
+    pr.write_transcripts(dfs["transcripts"])
+    for n in ("authority_entities", "authority_ids"):
+        st_ref.write(dfs[n], n)
+    pr.run(resume=False)
+
+    st = TableStore(str(tmp_path / "inc"))
+    pipe = KGPipeline(spark, st, _cfg())
+    pipe.write_transcripts(t_a)
+    for n in ("authority_entities", "authority_ids"):
+        st.write(dfs[n], n)
+    pipe.run(resume=False)
+    pipe.ingest_increment(batch)
+
+    # snapshot history: the increment committed an APPEND (new slice)
+    # and then a MERGE (replaced slice) on each stage-1 table
+    meta = st._load_meta("triples")
+    ops = [s["properties"].get("operation", "write")
+           for s in meta["snapshots"]]
+    assert ops[-2:] == ["append", "merge"], ops
+    for t in ("triples", "mentions", "folded_mentions",
+              "statements", "nodes", "edges"):
+        _assert_tables_equal(spark, st_ref, st, t)
