@@ -913,6 +913,21 @@ def q54_token_packing(spark, sf_dir):
         "doc_id", "n_tokens", "shard", "bin_idx")
 
 
+def q57_pagerank(spark, sf_dir):
+    """PageRank over a part->supplier edge graph (operators/graph.
+    pagerank): 3 power iterations, damping 0.85, dangling mass
+    redistributed, intermediate ranks rounded to 9 decimals so the
+    oracle can UNROLL the identical iterations in SQL. The structural
+    node-importance signal the reference approximates with mention
+    counts (SURVEY W1)."""
+    from softcite_kb_spark.operators.graph import pagerank
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+    return pagerank(edges, n_iter=3, damping=0.85)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: stage-1 extraction + fold + A1 ranking on sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -985,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_token_packing": q54_token_packing,
         "q55_asof_join_tolerance": q55_asof_join_tolerance,
         "q56_near_dup_multitable": q56_near_dup_multitable,
+        "q57_pagerank": q57_pagerank,
     }
 
 
@@ -1286,6 +1302,49 @@ def _corpus_prep_oracle_sql() -> str:
     """
 
 
+def _pagerank_oracle_sql(n_iter: int = 3, damping: float = 0.85) -> str:
+    """q57: the power iterations UNROLLED as SQL CTEs — same base
+    constant expression ((1.0 - d)/n evaluated in-engine, not a
+    pre-baked literal, so the doubles match Spark's), same 9-decimal
+    intermediate rounding, same dangling redistribution."""
+    its = []
+    for t in range(1, n_iter + 1):
+        prev = f"r{t - 1}"
+        its.append(f"""
+        d{t} AS (
+          SELECT coalesce(sum(rank), 0.0) AS dm FROM {prev}
+          WHERE node NOT IN (SELECT src FROM outdeg)
+        ), r{t} AS (
+          SELECT n.node,
+                 round((1.0 - {damping}) / (SELECT n FROM nn)
+                       + {damping} * (coalesce(c.c, 0.0)
+                           + (SELECT dm FROM d{t})
+                             / (SELECT n FROM nn)), 9) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, sum(r.rank / o.outdeg) AS c
+            FROM e JOIN {prev} r ON e.src = r.node
+                   JOIN outdeg o ON e.src = o.src
+            GROUP BY 1
+          ) c ON n.node = c.node
+        )""")
+    return f"""
+        WITH e AS (
+          SELECT DISTINCT 'p' || l_partkey AS src, 's' || l_suppkey AS dst
+          FROM lineitem
+        ), nodes AS (
+          SELECT src AS node FROM e UNION SELECT dst FROM e
+        ), nn AS (
+          SELECT count(*)::DOUBLE AS n FROM nodes
+        ), outdeg AS (
+          SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY 1
+        ), r0 AS (
+          SELECT node, round(1.0 / (SELECT n FROM nn), 9) AS rank
+          FROM nodes
+        ),{",".join(its)}
+        SELECT node, round(rank, 6) AS rank FROM r{n_iter}
+    """
+
+
 def _near_dup_multitable_oracle_sql(n_tables: int = 2) -> str:
     """q56: multi-table LSH near-dup — per-table bucket self-joins from
     independent (seed-offset) plane sets, candidates UNIONed (distinct),
@@ -1344,6 +1403,7 @@ def oracle_sql() -> dict[str, str]:
         "q25_lsh_candidate_pairs": _lsh_oracle_sql(),
         "q46_emb_near_dup_lsh": _near_dup_lsh_oracle_sql(),
         "q56_near_dup_multitable": _near_dup_multitable_oracle_sql(),
+        "q57_pagerank": _pagerank_oracle_sql(),
         "q26_simhash_near_pairs": _simhash_oracle_sql(),
         "q28_lsh_topk": _hyperplane_oracle_sql(),
         "q50_lsh_topk_multiprobe": _multiprobe_oracle_sql(),

@@ -439,6 +439,31 @@ class TableStore:
                     total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
         return total
 
+    def compact(self, spark: SparkSession, table: str) -> Snapshot:
+        """Maintenance commit (Iceberg ``rewrite_data_files`` analog):
+        rewrite the current snapshot's rows into fresh, right-sized
+        files with the same partition layout — the complement of
+        fast-append ingestion, whose per-increment ``a<sid>-*`` files
+        otherwise accumulate until reads are metadata-bound. Row content
+        is identical; only the file layout changes."""
+        snap = self.current_snapshot(table)
+        if snap is None:
+            raise FileNotFoundError(
+                f"table {table!r} has no snapshot to compact")
+        part_by = (snap.properties or {}).get("partition_by") or []
+        df = self.read(spark, table)
+        if part_by:
+            # one write task per partition value: emits O(partitions)
+            # files, not O(partitions x shuffle_partitions)
+            df = df.repartition(*[F.col(c) for c in part_by])
+        else:
+            df = df.coalesce(max(1, spark.sparkContext.defaultParallelism))
+        props = dict(snap.properties or {})
+        props.pop("schema_json", None)  # write() re-pins from df
+        props["operation"] = "compact"
+        props["compacted_from"] = snap.snapshot_id
+        return self.write(df, table, props, partition_by=part_by or None)
+
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         snap = self.current_snapshot(table)
         if snap is None:

@@ -272,3 +272,39 @@ def test_merge_empty_string_partition_falls_back(spark, tmp_path):
     # default partition too — both rows live there, distinct keys)
     assert got[(None, 1)] == "nullrow" and got[(None, 9)] == "empty"
     assert len(got) == 3
+
+
+def test_compact_shrinks_files_preserves_rows(spark, tmp_path):
+    """After several fast-appends the snapshot accumulates a<sid>-*
+    files; compact() rewrites to O(partitions) files with identical row
+    content and the same partition layout."""
+    import os
+
+    st = TableStore(str(tmp_path / "kb"))
+    base = spark.createDataFrame(pd.DataFrame({
+        "bucket": ["a", "b"] * 4, "k": list(range(8)),
+        "v": [f"v{i}" for i in range(8)]}))
+    st.write(base, "t", partition_by=["bucket"])
+    for i in range(3):
+        extra = spark.createDataFrame(pd.DataFrame(
+            {"bucket": ["a", "b"], "k": [100 + 2 * i, 101 + 2 * i],
+             "v": ["x", "y"]}))
+        st.append(extra, "t")
+
+    def n_files(path):
+        return sum(1 for root, _d, files in os.walk(path)
+                   for f in files if f.endswith(".parquet"))
+
+    before_rows = sorted(map(tuple, st.read(spark, "t").collect()))
+    before_files = n_files(st.current_snapshot("t").path)
+    snap = st.compact(spark, "t")
+    assert snap.properties["operation"] == "compact"
+    assert snap.properties["partition_by"] == ["bucket"]
+    after_files = n_files(snap.path)
+    assert after_files < before_files
+    assert after_files <= 2 + 1   # one-ish file per partition value
+    assert sorted(map(tuple, st.read(spark, "t").collect())) == before_rows
+    # and a later append still works on the compacted layout
+    st.append(spark.createDataFrame(pd.DataFrame(
+        {"bucket": ["a"], "k": [999], "v": ["z"]})), "t")
+    assert st.read(spark, "t").count() == len(before_rows) + 1
