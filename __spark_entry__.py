@@ -1303,10 +1303,13 @@ def _corpus_prep_oracle_sql() -> str:
 
 
 def _pagerank_oracle_sql(n_iter: int = 3, damping: float = 0.85) -> str:
-    """q57: the power iterations UNROLLED as SQL CTEs — same base
-    constant expression ((1.0 - d)/n evaluated in-engine, not a
-    pre-baked literal, so the doubles match Spark's), same 9-decimal
-    intermediate rounding, same dangling redistribution."""
+    """q57: the power iterations UNROLLED as SQL CTEs — 9-decimal
+    intermediate rounding, same dangling redistribution. Float parity
+    detail: Spark computes (1.0 - d)/n with PYTHON DOUBLE arithmetic
+    (1.0 - 0.85 = 0.15000000000000002); DuckDB would evaluate the bare
+    literal subtraction in DECIMAL (exactly 0.15, one ulp lower as a
+    double), so the SQL casts both operands to DOUBLE to force the
+    identical double subtraction."""
     its = []
     for t in range(1, n_iter + 1):
         prev = f"r{t - 1}"
@@ -1316,8 +1319,9 @@ def _pagerank_oracle_sql(n_iter: int = 3, damping: float = 0.85) -> str:
           WHERE node NOT IN (SELECT src FROM outdeg)
         ), r{t} AS (
           SELECT n.node,
-                 round((1.0 - {damping}) / (SELECT n FROM nn)
-                       + {damping} * (coalesce(c.c, 0.0)
+                 round((1.0::DOUBLE - {damping}::DOUBLE)
+                         / (SELECT n FROM nn)
+                       + {damping}::DOUBLE * (coalesce(c.c, 0.0)
                            + (SELECT dm FROM d{t})
                              / (SELECT n FROM nn)), 9) AS rank
           FROM nodes n LEFT JOIN (

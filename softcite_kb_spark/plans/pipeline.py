@@ -430,6 +430,26 @@ class KGPipeline:
                      new_triples.unionByName(repl_triples))
         self._write_metrics("extract", metric_df, "triples")
 
+    def compact_table(self, table: str):
+        """Maintenance: compact a store table AND refresh every manifest
+        entry that pins its snapshot id — without this, the next
+        ``run(resume=True)`` would treat the layout-only rewrite as new
+        data and recompute the stage plus everything downstream."""
+        snap = self.store.compact(self.spark, table)
+        m = self._load_manifest()
+        changed = False
+        for rec in m.values():
+            if not isinstance(rec, dict):
+                continue
+            for k in ("inputs", "outputs"):
+                ids = rec.get(k)
+                if isinstance(ids, dict) and table in ids:
+                    ids[table] = snap.snapshot_id
+                    changed = True
+        if changed:
+            self._save_manifest(m)
+        return snap
+
     def stage_link(self) -> None:
         # bucket is a storage-layout column (incremental merge pruning)
         # — keep it out of the relational stages

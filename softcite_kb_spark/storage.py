@@ -445,7 +445,12 @@ class TableStore:
         files with the same partition layout — the complement of
         fast-append ingestion, whose per-increment ``a<sid>-*`` files
         otherwise accumulate until reads are metadata-bound. Row content
-        is identical; only the file layout changes."""
+        is identical; only the file layout changes.
+
+        NOTE: the commit still bumps the snapshot id — resume machinery
+        that pins snapshot ids (KGPipeline manifests) should compact via
+        :meth:`KGPipeline.compact_table`, which refreshes its manifest
+        entries so a layout-only rewrite is not mistaken for new data."""
         snap = self.current_snapshot(table)
         if snap is None:
             raise FileNotFoundError(
@@ -458,10 +463,13 @@ class TableStore:
             df = df.repartition(*[F.col(c) for c in part_by])
         else:
             df = df.coalesce(max(1, spark.sparkContext.defaultParallelism))
-        props = dict(snap.properties or {})
-        props.pop("schema_json", None)  # write() re-pins from df
-        props["operation"] = "compact"
-        props["compacted_from"] = snap.snapshot_id
+        # FRESH properties: carrying the prior commit's merge_* metadata
+        # forward would make metrics record this maintenance commit as a
+        # merge (commit_mode prefers merge_mode over operation)
+        props: dict[str, Any] = {
+            "operation": "compact",
+            "compacted_from": snap.snapshot_id,
+        }
         return self.write(df, table, props, partition_by=part_by or None)
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:

@@ -147,3 +147,18 @@ def test_metrics_schema_migration_from_old_store(spark, store):
     old = m.filter(F.col("config") == "deadbeef").collect()
     assert len(old) == 1 and old[0].commit_mode is None
     assert m.filter(F.col("commit_mode") == "write").count() > 0
+
+
+def test_compact_table_preserves_resume(spark, store):
+    """Maintenance compaction through the pipeline must not invalidate
+    the resume manifest: after compact_table, every stage still skips."""
+    pipe = KGPipeline(spark, store, _cfg())
+    pipe.run()
+    snap = pipe.compact_table("triples")
+    assert snap.properties["operation"] == "compact"
+    # metrics must not misreport the maintenance commit as a merge
+    assert "merge_mode" not in snap.properties
+    r = pipe.run()
+    assert all(v == "skipped" for v in r.values()), r
+    assert store.read(spark, "triples").count() == \
+        store.current_snapshot("triples").row_count
