@@ -252,9 +252,21 @@ class TableStore:
         # Comparison is on relative leaf paths — exactly what the new
         # write produced vs what the old snapshot had, so value-encoding
         # questions (escaping, type rendering) cancel out.
+        #
+        # `written` alone is NOT the exclusion set: a partition whose
+        # merged content is ZERO rows (a delete_keys-only conversation
+        # that was its bucket's sole occupant) gets no leaf from the
+        # write above, and linking its old leaf back would resurrect the
+        # evicted rows. Exclude every AFFECTED partition explicitly — the
+        # leaf names come from a probe write of the affected tuples
+        # themselves, so Spark's own partition-value encoding is used on
+        # both sides of the comparison.
         written = set(self._partition_leaf_dirs(data_dir, part_by))
+        owned = written | self._probe_leaf_dirs(
+            df.sparkSession, affected,
+            key_universe.select(*part_by).schema, part_by, data_dir)
         for rel in self._partition_leaf_dirs(snap.path, part_by):
-            if rel not in written:
+            if rel not in owned:
                 self._link_tree(os.path.join(snap.path, rel),
                                 os.path.join(data_dir, rel))
 
@@ -391,6 +403,25 @@ class TableStore:
             c = F.col(f"__cur.{k}").eqNullSafe(F.col(f"__inc.{k}"))
             cond = c if cond is None else (cond & c)
         return cur.join(inc, cond, "left_anti")
+
+    def _probe_leaf_dirs(self, spark: SparkSession, tuples: list,
+                         part_schema, part_by: list[str],
+                         probe_base: str) -> set[str]:
+        """Exact Spark-encoded leaf-directory names for the given
+        partition tuples, obtained by WRITING them: a one-task write of
+        the (driver-bounded, <= _MAX_PRUNED_PARTITIONS) tuples with a
+        dummy payload column, partitioned the same way — hand-rendering
+        the values would re-open every escaping/type-formatting question
+        the leaf-path comparison exists to avoid."""
+        if not tuples:
+            return set()
+        probe = probe_base + ".leafprobe"
+        tdf = spark.createDataFrame([tuple(t) for t in tuples], part_schema)
+        (tdf.withColumn("__probe", F.lit(1)).coalesce(1)
+            .write.mode("overwrite").partitionBy(*part_by).parquet(probe))
+        leaves = set(self._partition_leaf_dirs(probe, part_by))
+        shutil.rmtree(probe, ignore_errors=True)
+        return leaves
 
     @staticmethod
     def _partition_leaf_dirs(root: str, part_by: list[str]) -> list[str]:

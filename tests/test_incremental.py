@@ -267,3 +267,41 @@ def test_mixed_batch_splits_append_and_merge(spark, corpus_tables, tmp_path):
     for t in ("triples", "mentions", "folded_mentions",
               "statements", "nodes", "edges"):
         _assert_tables_equal(spark, st_ref, st, t)
+
+
+def test_zero_yield_eviction_when_conv_is_buckets_sole_occupant(
+        spark, corpus_tables, tmp_path):
+    """ADVICE r03 (high): the zero-yield eviction where the gutted
+    conversation is the ONLY occupant of its bucket — the merged bucket
+    content is zero rows, Spark writes no leaf, and before the fix the
+    old leaf was hardlinked back (phantom rows resurrected). 128 buckets
+    over 60 conversations guarantees sole-occupant buckets exist."""
+    dfs = _load(spark, corpus_tables)
+    cfg = PipelineConfig(blacklist=tuple(datagen.BLACKLIST),
+                         min_vote_total=1, partition_buckets=128)
+    counts = (dfs["transcripts"].select("conv_id").distinct()
+              .withColumn("b", F.pmod(F.xxhash64("conv_id"), F.lit(128)))
+              .groupBy("b").agg(F.count("*").alias("n"),
+                                F.min("conv_id").alias("conv_id")))
+    solo = [r.conv_id for r in counts.filter("n = 1")
+            .orderBy("conv_id").limit(2).collect()]
+    assert solo, "corpus has no sole-occupant bucket at 128 buckets"
+    modified = dfs["transcripts"].withColumn(
+        "text",
+        F.when(F.col("conv_id").isin(solo), F.lit("hello plain world"))
+        .otherwise(F.col("text")))
+
+    st = TableStore(str(tmp_path / "inc"))
+    pipe = KGPipeline(spark, st, cfg)
+    pipe.write_transcripts(dfs["transcripts"])
+    for n in ("authority_entities", "authority_ids"):
+        st.write(dfs[n], n)
+    pipe.run(resume=False)
+    pipe.ingest_increment(modified.filter(F.col("conv_id").isin(solo)))
+
+    for t in ("triples", "mentions", "folded_mentions"):
+        n = st.read(spark, t).filter(F.col("conv_id").isin(solo)).count()
+        assert n == 0, (t, n)
+    # and the merge actually took the pruned path (the bug's precondition)
+    snap = st.current_snapshot("triples")
+    assert snap.properties.get("merge_mode") == "pruned"

@@ -308,3 +308,57 @@ def test_compact_shrinks_files_preserves_rows(spark, tmp_path):
     st.append(spark.createDataFrame(pd.DataFrame(
         {"bucket": ["a"], "k": [999], "v": ["z"]})), "t")
     assert st.read(spark, "t").count() == len(before_rows) + 1
+
+
+def test_pruned_merge_delete_only_emptied_partition_stays_empty(
+        spark, tmp_path):
+    """ADVICE r03 (high): when a merge leaves an affected partition with
+    ZERO rows (delete_keys-only key that was its partition's sole
+    occupant), the write emits no leaf for it — the carry-over must NOT
+    hardlink the old leaf back and resurrect the evicted rows."""
+    st = TableStore(str(tmp_path / "s"))
+    base = spark.createDataFrame(pd.DataFrame(
+        {"bucket": [0, 1, 1], "conv_id": ["a", "b", "c"], "v": [1, 2, 3]}))
+    st.write(base, "t", partition_by=["bucket"])
+    empty = spark.createDataFrame([], base.schema)
+    dk = spark.createDataFrame(pd.DataFrame(
+        {"bucket": [0], "conv_id": ["a"]}))
+    snap = st.merge(empty, "t", ["bucket", "conv_id"], delete_keys=dk)
+    assert snap.properties["merge_mode"] == "pruned"
+    got = sorted((r.bucket, r.conv_id, r.v)
+                 for r in st.read(spark, "t").collect())
+    assert got == [(1, "b", 2), (1, "c", 3)]
+    # a later merge into OTHER partitions must not resurrect it either
+    upd = spark.createDataFrame(pd.DataFrame(
+        {"bucket": [1], "conv_id": ["b"], "v": [20]}))
+    st.merge(upd, "t", ["bucket", "conv_id"])
+    got = sorted((r.bucket, r.conv_id, r.v)
+                 for r in st.read(spark, "t").collect())
+    assert got == [(1, "b", 20), (1, "c", 3)]
+
+
+def test_pruned_merge_mixed_replace_and_emptying_delete(spark, tmp_path):
+    """One batch that both replaces rows in one partition and empties
+    another: the replaced partition rewrites, the emptied one vanishes,
+    untouched partitions hardlink over."""
+    import os
+
+    st = TableStore(str(tmp_path / "s"))
+    base = spark.createDataFrame(pd.DataFrame(
+        {"bucket": [0, 1, 2], "conv_id": ["a", "b", "c"], "v": [1, 2, 3]}))
+    snap1 = st.write(base, "t", partition_by=["bucket"])
+    upd = spark.createDataFrame(pd.DataFrame(
+        {"bucket": [1], "conv_id": ["b"], "v": [20]}))
+    dk = spark.createDataFrame(pd.DataFrame(
+        {"bucket": [0], "conv_id": ["a"]}))
+    snap2 = st.merge(upd, "t", ["bucket", "conv_id"], delete_keys=dk)
+    got = sorted((r.bucket, r.conv_id, r.v)
+                 for r in st.read(spark, "t").collect())
+    assert got == [(1, "b", 20), (2, "c", 3)]
+    # untouched bucket=2 leaf carried by hardlink (same inode)
+    d1 = os.path.join(snap1.path, "bucket=2")
+    for f in os.listdir(d1):
+        if f.endswith(".parquet"):
+            assert (os.stat(os.path.join(d1, f)).st_ino
+                    == os.stat(os.path.join(
+                        snap2.path, "bucket=2", f)).st_ino)
