@@ -167,13 +167,18 @@ class KGPipeline:
 
     def _append_metrics(self, part: DataFrame) -> None:
         """Append metrics rows, migrating a pre-existing _metrics table
-        whose schema predates newer columns (e.g. commit_mode): old rows
-        are backfilled with NULL once, then appends resume O(new rows).
-        Without this, resuming a store created by an older library
-        version would die on append's schema-drift guard."""
+        whose schema differs (e.g. a store written by an older or NEWER
+        library version): the rewritten table keeps the UNION of both
+        column sets — a column only the pre-existing table has is
+        backfilled with NULL on the new rows, never silently dropped.
+        Only the dedicated SchemaDriftError triggers the migration; any
+        other failure surfaces instead of causing a destructive
+        rewrite-then-retry."""
+        from softcite_kb_spark.storage import SchemaDriftError
+
         try:
             self.store.append(part, "_metrics")
-        except ValueError:
+        except SchemaDriftError:
             old = self.store.read(self.spark, "_metrics")
             for f in part.schema.fields:
                 if f.name not in old.columns:
@@ -184,8 +189,13 @@ class KGPipeline:
                     # would pin the old type and re-fail the append
                     old = old.withColumn(
                         f.name, F.col(f.name).cast(f.dataType))
-            self.store.write(old.select(*part.columns), "_metrics")
-            self.store.append(part, "_metrics")
+            old_only = [f for f in old.schema.fields
+                        if f.name not in part.columns]
+            for f in old_only:
+                part = part.withColumn(f.name, F.lit(None).cast(f.dataType))
+            cols = list(part.columns)  # new-schema order, old-only last
+            self.store.write(old.select(*cols), "_metrics")
+            self.store.append(part.select(*cols), "_metrics")
 
     def read_metrics(self, current_only: bool = True) -> DataFrame:
         """The metrics/lineage table; with ``current_only`` keep only each
@@ -320,6 +330,23 @@ class KGPipeline:
         bootstrap = not self.store.exists("transcripts")
         fp = self.config.fingerprint()
         manifest = self._load_manifest()
+        if not bootstrap and n_buckets > 0:
+            # the bucketed increment path REQUIRES the existing
+            # transcripts table to carry the bucket partition layout —
+            # a store initialized with a plain store.write(transcripts)
+            # would otherwise die later with an opaque AnalysisException
+            # on F.col('bucket') (and a unionByName mismatch in the
+            # merge); fail here with the actual fix instead
+            tprops = (self.store.current_snapshot("transcripts")
+                      .properties or {})
+            if (tprops.get("partition_by") or []) != ["bucket"]:
+                raise RuntimeError(
+                    f"partition_buckets={n_buckets} but the existing "
+                    f"transcripts table is not bucket-partitioned — "
+                    f"commit the initial load via "
+                    f"KGPipeline.write_transcripts(...) (a plain "
+                    f"store.write drops the bucket layout incremental "
+                    f"merges prune on), or set partition_buckets=0")
         if not bootstrap and self.store.current_snapshot(
                 "transcripts").row_count > 0:
             # the pre-existing corpus must have been extracted, under
@@ -411,6 +438,29 @@ class KGPipeline:
             self.store.merge(with_bucket(ex.fold_mentions(repl_mentions)),
                              "folded_mentions", key_cols=keys,
                              delete_keys=dkeys)
+
+        # OPERATIONAL ALERT (VERDICT r03 #8): a bucketed store whose
+        # increment merges silently fall back to full rewrites is the
+        # 100 TB failure mode — every O(batch) increment becomes
+        # O(table) I/O. Surface it: warn loudly and flag the manifest.
+        if replaced_keys is not None:
+            fallbacks = {}
+            for t in ("transcripts", "triples", "mentions",
+                      "folded_mentions"):
+                sp = (self.store.current_snapshot(t).properties or {})
+                reason = sp.get("merge_fallback_reason")
+                if reason:
+                    fallbacks[t] = reason
+            if fallbacks:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "incremental ingest merge fell back to FULL "
+                    "REWRITE (O(table) I/O per increment): %s",
+                    fallbacks)
+                m2 = self._load_manifest()
+                m2.setdefault("_ingest", {})["merge_fallbacks"] = fallbacks
+                self._save_manifest(m2)
 
         # the committed outputs ARE the extract stage's outputs for the
         # new input state — record the manifest so run() skips

@@ -31,6 +31,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class SchemaDriftError(ValueError):
+    """An append whose batch schema diverges from the table schema —
+    raised as its own type so callers migrating a table on drift never
+    mistake an unrelated ValueError for drift (and destructively
+    rewrite a healthy table)."""
+
+
 @dataclass
 class Snapshot:
     snapshot_id: int
@@ -311,7 +318,7 @@ class TableStore:
         if not self._types_match(snap, df, require_same_columns=True):
             # appended files cannot be rewritten later: a drifting batch
             # schema would re-pin how every EXISTING file is read
-            raise ValueError(
+            raise SchemaDriftError(
                 f"append schema drift on table {table!r}: batch schema "
                 f"{df.schema.simpleString()} != table schema "
                 f"{snap.schema_ddl}")

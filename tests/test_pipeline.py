@@ -162,3 +162,93 @@ def test_compact_table_preserves_resume(spark, store):
     assert all(v == "skipped" for v in r.values()), r
     assert store.read(spark, "triples").count() == \
         store.current_snapshot("triples").row_count
+
+
+def test_metrics_migration_keeps_future_only_columns(spark, store):
+    """ADVICE r03: the drift migration must keep the UNION of columns —
+    a column that exists only in the pre-existing _metrics table (e.g.
+    written by a NEWER library version) survives the rewrite with NULL
+    backfill on the new rows, instead of being silently dropped."""
+    pipe = KGPipeline(spark, store, _cfg())
+    legacy = spark.createDataFrame(pd.DataFrame({
+        "partition_id": [0], "n_rows": [5], "stage": ["extract"],
+        "table": ["triples"], "config": ["deadbeef"], "run_ts": [1.0],
+        "future_col": ["kept"],
+    })).withColumn("n_rows", F.col("n_rows").cast("long"))
+    store.write(legacy, "_metrics")
+    pipe.run(resume=False)
+    m = store.read(spark, "_metrics")
+    assert "future_col" in m.columns
+    assert m.filter(F.col("future_col") == "kept").count() == 1
+    new = m.filter(F.col("config") != "deadbeef")
+    assert new.count() > 0
+    assert new.filter(F.col("future_col").isNotNull()).count() == 0
+
+
+def test_metrics_append_unrelated_error_not_swallowed(spark, store):
+    """Only SchemaDriftError triggers the migration; an unrelated
+    ValueError from append must surface, not cause a destructive
+    rewrite-then-retry."""
+    pipe = KGPipeline(spark, store, _cfg())
+    part = spark.createDataFrame(pd.DataFrame({
+        "partition_id": [0], "n_rows": [1], "stage": ["x"],
+        "table": ["t"], "config": ["c"], "commit_mode": ["write"],
+        "run_ts": [1.0]})).withColumn(
+            "n_rows", F.col("n_rows").cast("long"))
+    pipe._append_metrics(part)  # creates the table
+
+    def boom(df, table, properties=None):
+        raise ValueError("disk quota exceeded")
+
+    orig = store.append
+    store.append = boom
+    try:
+        with pytest.raises(ValueError, match="disk quota"):
+            pipe._append_metrics(part)
+    finally:
+        store.append = orig
+
+
+def test_ingest_rejects_unbucketed_transcripts_table(spark, corpus,
+                                                    tmp_path):
+    """ADVICE r03: a store whose transcripts were committed with a
+    plain store.write (no bucket layout) + partition_buckets>0 must
+    fail ingest_stage1 with a CLEAR error pointing at
+    write_transcripts, not an opaque AnalysisException downstream."""
+    st = TableStore(str(tmp_path / "kb"))
+    st.write(corpus["transcripts"], "transcripts")  # NOT write_transcripts
+    for n in ("authority_entities", "authority_ids"):
+        st.write(corpus[n], n)
+    cfg = PipelineConfig(blacklist=tuple(datagen.BLACKLIST),
+                         min_vote_total=1, partition_buckets=8)
+    pipe = KGPipeline(spark, st, cfg)
+    pipe.run(resume=False)  # batch run works fine unbucketed
+    batch = corpus["transcripts"].limit(10)
+    with pytest.raises(RuntimeError, match="write_transcripts"):
+        pipe.ingest_stage1(batch)
+
+
+def test_ingest_flags_merge_fallback(spark, corpus, tmp_path,
+                                     monkeypatch):
+    """VERDICT r03 #8: when an increment's replacement merge falls back
+    to a full rewrite on a partitioned table, the pipeline warns and
+    flags the manifest — a silent O(table) increment is the 100 TB
+    failure mode to monitor for."""
+    from softcite_kb_spark.storage import TableStore as TS
+
+    st = TableStore(str(tmp_path / "kb"))
+    cfg = PipelineConfig(blacklist=tuple(datagen.BLACKLIST),
+                         min_vote_total=1, partition_buckets=8)
+    pipe = KGPipeline(spark, st, cfg)
+    pipe.write_transcripts(corpus["transcripts"])
+    for n in ("authority_entities", "authority_ids"):
+        st.write(corpus[n], n)
+    pipe.run(resume=False)
+    # force every prunable merge over the prune-width limit
+    monkeypatch.setattr(TS, "_MAX_PRUNED_PARTITIONS", 0)
+    convs = [r.conv_id for r in corpus["transcripts"].select("conv_id")
+             .distinct().limit(2).collect()]
+    batch = corpus["transcripts"].filter(F.col("conv_id").isin(convs))
+    pipe.ingest_stage1(batch)
+    flags = pipe._load_manifest()["_ingest"]["merge_fallbacks"]
+    assert "triples" in flags and "prune limit" in flags["triples"]
