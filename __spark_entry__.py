@@ -1127,10 +1127,17 @@ def _simhash_oracle_sql() -> str:
         ), sig AS (
           SELECT a.doc_id, coalesce(s.simhash, 0)::BIGINT AS simhash
           FROM allx a LEFT JOIN sigs s USING (doc_id)
-        ), chunks AS (
+        ), chunks0 AS (
           SELECT doc_id, simhash, cc.c AS chunk_idx,
                  (simhash >> (cc.c * 16)) & 65535 AS chunk_val
           FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) cc
+        ), chunks AS (
+          -- max_bucket=1000 skew cap (no-op at this scale; mirrors
+          -- dedup.cap_buckets semantics exactly)
+          SELECT doc_id, simhash, chunk_idx, chunk_val FROM (
+            SELECT *, count(*) OVER (PARTITION BY chunk_idx, chunk_val)
+                   AS bucket_n
+            FROM chunks0) WHERE bucket_n <= 1000
         ), cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                  a.simhash AS sh_a, b.simhash AS sh_b
@@ -1359,10 +1366,15 @@ def _near_dup_multitable_oracle_sql(n_tables: int = 2) -> str:
              "a.embedding::DOUBLE[])) * "
              "sqrt(list_dot_product(b.embedding::DOUBLE[], "
              "b.embedding::DOUBLE[])), 1e-12), 6)")
+    # max_bucket=2000 skew cap per (table, bucket) — no-op at this
+    # scale; mirrors dedup.cap_buckets semantics exactly
     tables = ",\n".join(
-        f"b{t} AS (SELECT vec_id, embedding, "
+        f"b{t}0 AS (SELECT vec_id, embedding, "
         f"{_hyperplane_bucket_sql(seed=13 + 101 * t)} AS bucket "
-        f"FROM embeddings)"
+        f"FROM embeddings),\n"
+        f"b{t} AS (SELECT vec_id, embedding, bucket FROM ("
+        f"SELECT *, count(*) OVER (PARTITION BY bucket) AS bucket_n "
+        f"FROM b{t}0) WHERE bucket_n <= 2000)"
         for t in range(n_tables))
     cands = "\nUNION\n".join(
         f"SELECT l.vec_id AS id_a, r.vec_id AS id_b FROM b{t} l "
@@ -1383,8 +1395,14 @@ def _near_dup_lsh_oracle_sql() -> str:
     """q46: bucket self-join near-dup pairs from the same plane constants."""
     bucket = _hyperplane_bucket_sql()
     return f"""
-        WITH b AS (
+        WITH b0 AS (
           SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+        ), b AS (
+          -- max_bucket=2000 skew cap (no-op at this scale; mirrors
+          -- dedup.cap_buckets semantics exactly)
+          SELECT vec_id, embedding, bucket FROM (
+            SELECT *, count(*) OVER (PARTITION BY bucket) AS bucket_n
+            FROM b0) WHERE bucket_n <= 2000
         )
         SELECT l.vec_id AS id_a, r.vec_id AS id_b,
                round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])

@@ -132,7 +132,8 @@ def search(flat: DataFrame, query: str, k: int = 10) -> DataFrame:
 
 def rank_tfidf(df: DataFrame, query: str, k: int = 10,
                id_col: str = "canonical_id",
-               text_col: str = "all") -> DataFrame:
+               text_col: str = "all",
+               materializer=None) -> DataFrame:
     """TF-IDF ranked full-text search — the native scoring stand-in for
     the reference's BM25 delegation to ElasticSearch
     (indexing/kb_es_indexing.py:99-115; scoring PARITY with ES is
@@ -156,13 +157,17 @@ def rank_tfidf(df: DataFrame, query: str, k: int = 10,
         F.explode(F.filter(
             F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
             lambda t: t != "")).alias("term"))
-    tf = (
+    if materializer is None:
+        from softcite_kb_spark.materialize import (
+            local_checkpoint_materializer as materializer)
+    tf = materializer(
         toks.filter(F.col("term").isin(*terms))
         .groupBy(id_col, "term")
         .agg(F.count("*").cast("double").alias("tf"))
         # consumed twice (scores + doc frequency): barrier so the
-        # explode pipeline runs once, not once per branch
-        .localCheckpoint(eager=False)
+        # explode pipeline runs once, not once per branch —
+        # localCheckpoint by default, a ScratchTableMaterializer on a
+        # real cluster (same injection as CC/Lloyd/LSH)
     )
     total = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     dfreq = tf.groupBy("term").agg(

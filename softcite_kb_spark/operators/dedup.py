@@ -54,6 +54,31 @@ def _default_materializer(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+def cap_buckets(df: DataFrame, bucket_cols: list[str],
+                max_bucket: int) -> DataFrame:
+    """Drop every row belonging to a blocking bucket with more than
+    ``max_bucket`` members — the skew guard every bucketed near-dup
+    self-join needs (a degenerate bucket's pair count is quadratic;
+    its members are near-identical boilerplate that exact dedup
+    catches anyway).
+
+    Sizes come from a groupBy-count + anti-join of the OVERSIZED keys,
+    NOT a ``count(*) over (partition by bucket)`` window: the window
+    funnels the very 10^9-row bucket it exists to cap through one
+    reducer just to count it, while groupBy count is computed with
+    map-side partial aggregation (each task contributes one partial
+    per key) and only the tiny oversized-key set flows into the
+    anti-join (AQE broadcasts it when small — unhinted on purpose, so
+    an adversarial corpus full of oversized buckets degrades to a
+    shuffle join instead of OOMing the driver)."""
+    if not max_bucket or max_bucket <= 0:
+        return df
+    big = (df.groupBy(*bucket_cols).agg(F.count("*").alias("__n"))
+           .filter(F.col("__n") > max_bucket)
+           .select(*bucket_cols))
+    return df.join(big, list(bucket_cols), "left_anti")
+
+
 def exact_duplicate_groups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -229,11 +254,9 @@ def lsh_candidate_pairs(
             n=bands,
             args=", ".join(f"{b}, band_{b}" for b in range(bands))),
     )
-    # skew guard: cap pathological buckets
-    sized = stacked.withColumn(
-        "bucket_n",
-        F.count("*").over(Window.partitionBy("band_idx", "band_hash")))
-    stacked = sized.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+    # skew guard: cap pathological buckets (groupBy-count, never a
+    # window — see cap_buckets)
+    stacked = cap_buckets(stacked, ["band_idx", "band_hash"], max_bucket)
     # self-join would recompute the signature scan on both sides — cut it
     # (``materializer``: localCheckpoint here; a scratch-table persist on
     # a real cluster — see Materializer above)
@@ -430,12 +453,19 @@ def add_simhash(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", max_hamming: int = 3,
+                       max_bucket: int = 1000,
                        materializer: Materializer | None = None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
     Blocking: 4 x 16-bit chunks — two signatures within Hamming<=3 share at
     least one identical chunk (pigeonhole), so candidates come from an
     equi-join on (chunk_idx, chunk_value), never a cross join.
+
+    ``max_bucket`` is the same skew guard ``lsh_candidate_pairs`` has:
+    near-identical boilerplate that survives exact dedup lands whole
+    signature chunks in one (chunk_idx, chunk_val) bucket and the
+    self-join goes quadratic — oversized buckets are dropped (their
+    members are exact-dedup's job). 0 disables.
     """
     sh = (materializer or _default_materializer)(
         add_simhash(df.select(id_col, text_col), id_col, text_col)
@@ -446,6 +476,7 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
         "stack(4, 0, (simhash >> 0) & 65535, 1, (simhash >> 16) & 65535, "
         "2, (simhash >> 32) & 65535, 3, (simhash >> 48) & 65535) "
         "as (chunk_idx, chunk_val)")
+    chunks = cap_buckets(chunks, ["chunk_idx", "chunk_val"], max_bucket)
     a, b = chunks.alias("a"), chunks.alias("b")
     cands = (
         a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))

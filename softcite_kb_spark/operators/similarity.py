@@ -405,6 +405,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     n_tables: int = 1,
     seed: int = 13,
+    max_bucket: int = 2000,
     materializer=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via bucket self-join.
@@ -418,7 +419,15 @@ def embedding_near_dup_pairs(
     behind a self-join barrier), matched by a single equi-join on
     (table, bucket) — not one self-join per table. ``materializer`` is
     the self-join barrier (see softcite_kb_spark.materialize).
+
+    ``max_bucket`` (same skew guard as ``dedup.lsh_candidate_pairs``,
+    groupBy-count + anti-join — never a window): a corpus of
+    near-identical embeddings that survives exact dedup lands in one
+    hyperplane bucket and the self-join goes quadratic; oversized
+    buckets are dropped. 0 disables.
     """
+    from softcite_kb_spark.operators.dedup import cap_buckets
+
     if n_tables < 1:
         raise ValueError("n_tables must be >= 1")
     if n_tables == 1:
@@ -427,6 +436,7 @@ def embedding_near_dup_pairs(
         b = df.select(id_col, vec_col).withColumn(
             "bucket", hyperplane_signs(F.col(vec_col), dim, n_planes,
                                        seed=seed))
+        b = cap_buckets(b, ["bucket"], max_bucket)
         l, r = b.alias("l"), b.alias("r")
         return (
             l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
@@ -446,6 +456,7 @@ def embedding_near_dup_pairs(
     bt = df.select(
         F.col(id_col),
         F.posexplode(buckets).alias("tbl", "bucket"))
+    bt = cap_buckets(bt, ["tbl", "bucket"], max_bucket)
     bt = (materializer or local_checkpoint_materializer)(bt)
     l, r = bt.alias("l"), bt.alias("r")
     cand = (
