@@ -793,6 +793,19 @@ def q49_bmp_decode(spark, sf_dir):
     return mm.decode_media(mm.media_from_documents_bmp(d))
 
 
+def q58_png_decode(spark, sf_dir):
+    """REAL compressed-format codec through the decode plumbing: genuine
+    RGB PNGs built from documents (multimodal.media_from_documents_png —
+    stored-deflate IDAT, scanline filter cycling through all five types),
+    decoded by the real chunk-walk + CRC + zlib-inflate + unfilter
+    decoder. Dimensions, byte size (closed-form because the IDAT uses
+    stored blocks) and reconstructed-pixel checksum all recomputed
+    relationally by the oracle — q49's counterpart for the first
+    compressed format."""
+    d = _t(spark, sf_dir, "documents")
+    return mm.decode_media(mm.media_from_documents_png(d))
+
+
 def q50_lsh_topk_multiprobe(spark, sf_dir):
     """Multi-probe hyperplane LSH ANN (similarity.probe_buckets): each
     query probes its base bucket plus the buckets reached by flipping its
@@ -1001,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_asof_join_tolerance": q55_asof_join_tolerance,
         "q56_near_dup_multitable": q56_near_dup_multitable,
         "q57_pagerank": q57_pagerank,
+        "q58_png_decode": q58_png_decode,
     }
 
 
@@ -1426,6 +1440,21 @@ def oracle_sql() -> dict[str, str]:
         "q46_emb_near_dup_lsh": _near_dup_lsh_oracle_sql(),
         "q56_near_dup_multitable": _near_dup_multitable_oracle_sql(),
         "q57_pagerank": _pagerank_oracle_sql(),
+        # q58: the REAL PNG decoder vs a relational reconstruction —
+        # uniform pixels make checksum = 3*w*h*v; stored-deflate IDAT
+        # makes n_bytes closed-form: 68 + h*(1+3w) (sig 8 + IHDR 25 +
+        # IDAT overhead 12 + zlib-stored raw+11 + IEND 12)
+        "q58_png_decode": """
+            SELECT doc_id::BIGINT AS media_id,
+                   'image' AS kind,
+                   (1 + doc_id % 13)::INT AS width,
+                   (1 + (doc_id * 3) % 11)::INT AS height,
+                   (68 + (1 + (doc_id * 3) % 11)
+                       * (1 + 3 * (1 + doc_id % 13)))::BIGINT AS n_bytes,
+                   ((3 * (1 + doc_id % 13) * (1 + (doc_id * 3) % 11)
+                       * (doc_id % 251)) % 2147483648)::BIGINT AS checksum
+            FROM documents
+        """,
         "q26_simhash_near_pairs": _simhash_oracle_sql(),
         "q28_lsh_topk": _hyperplane_oracle_sql(),
         "q50_lsh_topk_multiprobe": _multiprobe_oracle_sql(),

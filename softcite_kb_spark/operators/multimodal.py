@@ -10,11 +10,16 @@ payload magic:
     padding excluded from the pixel checksum; ``resize_media`` runs a
     real nearest-neighbor resample over the decoded pixel matrix
     (``struct`` + numpy only — no PIL needed for this format).
+  * **PNG** (bit depth 8; grayscale/RGB/RGBA, non-interlaced) — a REAL
+    decoder for the first COMPRESSED format: chunk walk with CRC
+    verification, stdlib ``zlib`` inflate, full scanline unfiltering
+    (None/Sub/Up/Average/Paeth) in numpy; ``resize_media`` resamples
+    the decoded pixels like BMP.
   * **WAV** (RIFF PCM) — a REAL decoder: chunk walk to ``fmt `` +
     ``data``, frames = data bytes / block align; width/height carry
     (n_frames, n_channels) for audio.
   * **SKBM** — the synthetic stub format for kinds whose codecs are NOT
-    in this container (JPEG/PNG/MP4 need libjpeg/ffmpeg): 16-byte header
+    in this container (JPEG/MP4 need libjpeg/ffmpeg): 16-byte header
     ``SKBM`` + kind byte + 3 reserved + width uint32 + height uint32 +
     body. Header parse only — clearly a stand-in, kept so the video
     frame-sample plumbing stays exercised.
@@ -200,6 +205,225 @@ def _decode_bmp_pixels(payload: bytes):
     return rows.reshape(h, w, 3)
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # grayscale, RGB, RGBA (bit depth 8)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data)))
+
+
+def encode_png(pixels, filter_type: int = 0, level: int = 6) -> bytes:
+    """Encode a uint8 pixel array as a real PNG (bit depth 8): shape
+    (h, w) -> grayscale, (h, w, 3) -> RGB, (h, w, 4) -> RGBA. Every
+    scanline uses ``filter_type`` (0 None / 1 Sub / 2 Up / 3 Average /
+    4 Paeth) — the fixture/test encoder for the real decoder, with the
+    filter selectable so tests exercise all five reconstruction paths.
+    ``level=0`` emits stored (uncompressed) deflate blocks, which makes
+    the payload length a CLOSED-FORM function of the dimensions — what
+    lets a SQL oracle value-check n_bytes relationally.
+
+    Filtering (unlike UNfiltering) is fully vectorizable: every filter
+    subtracts a predictor computed from RAW bytes only.
+    """
+    import numpy as np
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    raw = px.reshape(h, w * c).astype(np.int32)
+    prior = np.zeros((h, w * c), np.int32)
+    prior[1:] = raw[:-1]
+    left = np.zeros_like(raw)
+    left[:, c:] = raw[:, :-c]
+    upleft = np.zeros_like(raw)
+    upleft[:, c:] = prior[:, :-c]
+    if filter_type == 0:
+        filt = raw
+    elif filter_type == 1:
+        filt = raw - left
+    elif filter_type == 2:
+        filt = raw - prior
+    elif filter_type == 3:
+        filt = raw - (left + prior) // 2
+    elif filter_type == 4:
+        p = left + prior - upleft
+        pa, pb, pc = (np.abs(p - left), np.abs(p - prior),
+                      np.abs(p - upleft))
+        pred = np.where((pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, prior, upleft))
+        filt = raw - pred
+    else:
+        raise ValueError(f"unknown PNG filter type {filter_type}")
+    body = bytearray()
+    filt_u8 = (filt % 256).astype(np.uint8)
+    for y in range(h):
+        body += bytes([filter_type]) + filt_u8[y].tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(body), level))
+            + _png_chunk(b"IEND", b""))
+
+
+def _decode_png_pixels(payload: bytes):
+    """Real PNG decode with stdlib zlib + numpy: chunk walk with CRC
+    verification, IHDR validation (bit depth 8; grayscale/RGB/RGBA;
+    no palette, no Adam7 interlace), multi-IDAT concatenation, inflate,
+    and full scanline UNfiltering — None/Up vectorized, Sub via
+    modular cumsum along the pixel axis, Average/Paeth serial per
+    pixel (their reconstruction recurrence is inherently sequential)
+    but vectorized across channels. Returns (h, w, c) uint8.
+
+    Poison guards, because a 100 TB corpus will contain every possible
+    corruption: truncated chunks, CRC mismatches, dimension bombs
+    (w, h capped at 2^15 AND w*h*c at 2^28 — a 100-byte payload
+    declaring a 1 GB image is rejected before zlib inflates anything),
+    and decompressed-size mismatches all raise ValueError, which
+    decode_media turns into drop-or-NULL.
+    """
+    import numpy as np
+    import zlib
+
+    if len(payload) < 45 or payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, ended = 8, None, bytearray(), False
+    while pos + 8 <= len(payload):
+        clen = struct.unpack(">I", payload[pos:pos + 4])[0]
+        ctype = payload[pos + 4:pos + 8]
+        if pos + 12 + clen > len(payload):
+            raise ValueError("truncated PNG chunk")
+        data = payload[pos + 8:pos + 8 + clen]
+        crc = struct.unpack(">I", payload[pos + 8 + clen:pos + 12 + clen])[0]
+        if zlib.crc32(ctype + data) != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + clen
+    if ihdr is None or len(ihdr) != 13 or not idat:
+        raise ValueError("missing PNG IHDR/IDAT")
+    if not ended:
+        # a file cut mid-stream can still carry complete IDATs — strict
+        # like libpng: no IEND, no decode
+        raise ValueError("missing PNG IEND")
+    w, h, depth, color_type, comp, filt_method, interlace = \
+        struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth}")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color_type}"
+                         " (palette images need a PLTE-aware codec)")
+    if comp != 0 or filt_method != 0:
+        raise ValueError("unsupported PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7 interlace unsupported")
+    c = _PNG_CHANNELS[color_type]
+    if not (0 < w <= 2**15 and 0 < h <= 2**15) or w * h * c > 2**28:
+        raise ValueError(f"PNG dimensions out of range: {w}x{h}x{c}")
+    expected = h * (1 + w * c)
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), expected)
+    if len(raw) != expected or not d.eof or d.unconsumed_tail:
+        raise ValueError("PNG pixel data length mismatch")
+    rowbytes = w * c
+    out = np.empty((h, rowbytes), np.uint8)
+    prior = np.zeros(rowbytes, np.int32)
+    for y in range(h):
+        ft = raw[y * (rowbytes + 1)]
+        row = np.frombuffer(raw, np.uint8, rowbytes,
+                            y * (rowbytes + 1) + 1).astype(np.int32)
+        if ft == 0:
+            rec = row
+        elif ft == 1:  # Sub: modular prefix-sum along the pixel axis
+            rec = np.cumsum(row.reshape(w, c), axis=0,
+                            dtype=np.int64).reshape(rowbytes) % 256
+        elif ft == 2:  # Up
+            rec = (row + prior) % 256
+        elif ft == 3:  # Average (serial in x, vectorized across channels)
+            r2, p2 = row.reshape(w, c), prior.reshape(w, c)
+            rec2 = np.empty((w, c), np.int32)
+            left = np.zeros(c, np.int32)
+            for x in range(w):
+                left = (r2[x] + (left + p2[x]) // 2) % 256
+                rec2[x] = left
+            rec = rec2.reshape(rowbytes)
+        elif ft == 4:  # Paeth (serial in x, vectorized across channels)
+            r2, p2 = row.reshape(w, c), prior.reshape(w, c)
+            rec2 = np.empty((w, c), np.int32)
+            left = np.zeros(c, np.int32)
+            upleft = np.zeros(c, np.int32)
+            for x in range(w):
+                p = left + p2[x] - upleft
+                pa, pb, pc = (np.abs(p - left), np.abs(p - p2[x]),
+                              np.abs(p - upleft))
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, p2[x], upleft))
+                left = (r2[x] + pred) % 256
+                rec2[x] = left
+                upleft = p2[x]
+            rec = rec2.reshape(rowbytes)
+        else:
+            raise ValueError(f"unknown PNG scanline filter {ft}")
+        out[y] = rec.astype(np.uint8)
+        prior = rec.astype(np.int32)
+    return out.reshape(h, w, c)
+
+
+def _decode_png(payload: bytes) -> tuple[str, int, int, int]:
+    """Real PNG decode (metadata + pixel checksum over the
+    RECONSTRUCTED pixel bytes — filter bytes excluded, so the checksum
+    is identical for any filter choice or compression level)."""
+    px = _decode_png_pixels(payload)
+    h, w = px.shape[0], px.shape[1]
+    return "image", w, h, int(px.sum(dtype="int64")) % (2**31)
+
+
+def media_from_documents_png(docs: DataFrame) -> DataFrame:
+    """REAL-format PNG fixtures: each doc becomes a genuine RGB PNG
+    whose dimensions and (uniform) pixel value are modular functions of
+    doc_id, whose scanline filter cycles through all five types
+    (doc_id % 5 — uniform pixels reconstruct identically under every
+    filter, so the oracle stays closed-form while the decoder exercises
+    every unfilter path), and whose IDAT uses stored deflate blocks
+    (level 0), making the byte length exact in SQL:
+
+        w = 1 + doc_id % 13;  h = 1 + (doc_id * 3) % 11;  v = doc_id % 251
+        checksum = 3*w*h*v mod 2^31
+        n_bytes  = 68 + h * (1 + 3*w)    (sig 8 + IHDR 25 + IDAT 12 +
+                   [zlib stored: raw + 11] + IEND 12, raw = h*(1+3w))
+    """
+    import numpy as np
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 1 + did % 13
+                h = 1 + (did * 3) % 11
+                v = did % 251
+                px = np.full((h, w, 3), v, dtype=np.uint8)
+                rows["media_id"].append(did)
+                rows["kind"].append("image")
+                rows["payload"].append(
+                    encode_png(px, filter_type=did % 5, level=0))
+                rows["meta"].append(
+                    {"declared_width": w, "declared_height": h})
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
 def encode_wav(frames: bytes, n_channels: int = 1, sample_rate: int = 8000,
                bits: int = 16) -> bytes:
     """Encode raw PCM sample bytes as a canonical RIFF/WAVE file."""
@@ -267,6 +491,8 @@ def _decode_bytes(payload: bytes) -> tuple[str, int, int, int]:
         raise ValueError("payload too short")
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == PNG_SIG:
+        return _decode_png(payload)
     if payload[:4] == b"RIFF":
         return _decode_wav(payload)
     if payload[:4] == MAGIC:
@@ -340,8 +566,12 @@ def resize_media(df: DataFrame, target: tuple[int, int] = (32, 32)) -> DataFrame
                 except (ValueError, TypeError):
                     continue
                 rcs = None
+                px = None
                 if b[:2] == b"BM":
                     px = _decode_bmp_pixels(b)
+                elif b[:8] == PNG_SIG:
+                    px = _decode_png_pixels(b)
+                if px is not None:
                     yi = (np.arange(th) * h) // th
                     xi = (np.arange(tw) * w) // tw
                     res = px[yi][:, xi]

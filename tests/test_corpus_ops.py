@@ -617,3 +617,100 @@ def test_lsh_candidate_pairs_bounded_on_planted_boilerplate(spark):
     n = dedup.lsh_candidate_pairs(
         docs, num_perm=16, bands=4, shingle_n=3, max_bucket=100).count()
     assert n < 100 * 100 * 4
+
+
+def test_png_roundtrip_all_filters_and_colortypes(spark):
+    """Real PNG decode: every scanline filter (0-4) x gray/RGB/RGBA x
+    stored + compressed deflate, random pixels, exact reconstruction."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for shape in [(7, 5), (7, 5, 3), (6, 9, 4), (1, 1, 3)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        want = px if px.ndim == 3 else px[:, :, None]
+        for ft in range(5):
+            for lvl in (0, 6):
+                b = multimodal.encode_png(px, filter_type=ft, level=lvl)
+                got = multimodal._decode_png_pixels(b)
+                assert np.array_equal(got, want), (shape, ft, lvl)
+                kind, w, h, cs = multimodal._decode_png(b)
+                assert (kind, w, h) == ("image", shape[1], shape[0])
+                assert cs == int(want.sum(dtype="int64")) % (2**31)
+
+
+def test_png_poison_payloads_dropped(spark):
+    """Truncation, CRC corruption, interlace, palette, depth-16 — all
+    rejected by the decoder and DROPPED by decode_media (poison rows
+    never kill the stage)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    good = multimodal.encode_png(np.full((4, 6, 3), 9, np.uint8))
+
+    def rebuild_ihdr(**kw):
+        w, h, depth, ct, comp, fm, il = struct.unpack(
+            ">IIBBBBB", good[16:29])
+        vals = dict(w=w, h=h, depth=depth, ct=ct, comp=comp, fm=fm, il=il)
+        vals.update(kw)
+        ihdr = struct.pack(">IIBBBBB", vals["w"], vals["h"], vals["depth"],
+                           vals["ct"], vals["comp"], vals["fm"], vals["il"])
+        chunk = (struct.pack(">I", 13) + b"IHDR" + ihdr
+                 + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+        return good[:8] + chunk + good[33:]
+
+    crc_flip = bytearray(good)
+    crc_flip[40] ^= 0xFF
+    bad = [good[:30], good[:-5], bytes(crc_flip),
+           rebuild_ihdr(il=1),         # Adam7
+           rebuild_ihdr(ct=3),         # palette
+           rebuild_ihdr(depth=16),
+           rebuild_ihdr(w=2**20, h=2**14)]  # dimension bomb
+    rows = [(i, "image", bytearray(p), {"declared_width": 4,
+                                        "declared_height": 4})
+            for i, p in enumerate([good] + bad)]
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+    df = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+    out = multimodal.decode_media(df).collect()
+    assert [r.media_id for r in out] == [0]
+    assert (out[0].width, out[0].height) == (6, 4)
+    kept = multimodal.decode_media(df, drop_malformed=False).count()
+    assert kept == len(rows)
+
+
+def test_png_resize_real_nearest_neighbor(spark):
+    """resize_media resamples DECODED PNG pixels (same nearest-neighbor
+    index maps as BMP) — verified against a numpy reference."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    px = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    payload = multimodal.encode_png(px, filter_type=2, level=6)
+    df = spark.createDataFrame(pd.DataFrame(
+        [(1, "image", bytearray(payload),
+          {"declared_width": 7, "declared_height": 10})],
+        columns=["media_id", "kind", "payload", "meta"]),
+        schema=multimodal.MEDIA_SCHEMA)
+    got = multimodal.resize_media(df, target=(4, 5)).collect()[0]
+    yi = (np.arange(5) * 10) // 5
+    xi = (np.arange(4) * 7) // 4
+    want = int(px[yi][:, xi].sum(dtype="int64")) % (2**31)
+    assert got.resized_checksum == want
+    assert (got.width, got.height) == (7, 10)
+
+
+def test_png_fixture_nbytes_closed_form(spark):
+    """media_from_documents_png's stored-deflate payload length matches
+    the oracle's closed form 68 + h*(1+3w) for every doc."""
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": list(range(60)), "text": ["x"] * 60}))
+    out = multimodal.decode_media(
+        multimodal.media_from_documents_png(docs)).collect()
+    assert len(out) == 60
+    for r in out:
+        did = r.media_id
+        w, h, v = 1 + did % 13, 1 + (did * 3) % 11, did % 251
+        assert (r.width, r.height) == (w, h)
+        assert r.n_bytes == 68 + h * (1 + 3 * w)
+        assert r.checksum == (3 * w * h * v) % (2**31)
