@@ -85,34 +85,47 @@ def facets(flat: DataFrame, cols: list[str], k: int = 20) -> DataFrame:
     One top-k (value, n) bucket list per requested column; array columns
     (e.g. ``langs``) facet per element. Output:
     (facet, value, n) ranked per facet — the native analog of ES
-    ``aggregations``; one scan per facet, same shape ES executes.
+    ``aggregations``.
+
+    Plan shape (VERDICT r03 #9): ONE scan for ALL facets — each row
+    projects a tagged (facet, value) array per requested column, the
+    arrays concat, and a single explode feeds one groupBy. A union of
+    per-facet branches would re-scan the feed once per facet (at 100 TB,
+    N facets = N full scans); the per-facet top-k then runs as a
+    row_number window over the COUNTS (cardinality = distinct values,
+    not rows — the window is cheap where it is safe).
     """
+    from pyspark.sql import Window
     from pyspark.sql import types as T
 
     if not cols:
         raise ValueError("facets() needs at least one column to facet on")
     fields = {f.name: f.dataType for f in flat.schema.fields}
-    frames = []
-    for c in cols:
+
+    def tagged(c: str):
+        # factory closes over c (a loop-var default arg would trip the
+        # lambda-arity/index trap in higher-order functions)
         if isinstance(fields.get(c), T.ArrayType):
-            # generators can't nest inside a cast — explode first
-            src = flat.select(F.explode(c).alias("__v"))
+            arr = F.coalesce(F.col(c).cast("array<string>"),
+                             F.array().cast("array<string>"))
         else:
-            src = flat.select(F.col(c).alias("__v"))
-        g = (
-            src.select(F.col("__v").cast("string").alias("value"))
-            .filter(F.col("value").isNotNull())
-            .groupBy("value")
-            .agg(F.count("*").cast("long").alias("n"))
-            .orderBy(F.desc("n"), F.asc("value"))
-            .limit(k)
-            .withColumn("facet", F.lit(c))
-        )
-        frames.append(g.select("facet", "value", "n"))
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+            arr = F.array(F.col(c).cast("string"))
+        return F.transform(
+            arr, lambda v: F.struct(F.lit(c).alias("facet"),
+                                    v.alias("value")))
+
+    exploded = (
+        flat.select(F.explode(
+            F.concat(*[tagged(c) for c in cols])).alias("fv"))
+        .select("fv.facet", "fv.value")
+        .filter(F.col("value").isNotNull())
+    )
+    counts = (exploded.groupBy("facet", "value")
+              .agg(F.count("*").cast("long").alias("n")))
+    w = Window.partitionBy("facet").orderBy(F.desc("n"), F.asc("value"))
+    return (counts.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .select("facet", "value", "n"))
 
 
 def search(flat: DataFrame, query: str, k: int = 10) -> DataFrame:

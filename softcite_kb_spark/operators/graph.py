@@ -28,9 +28,11 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    node_universe: DataFrame | None = None,
+    tol: float | None = None,
     materializer: Materializer | None = None,
 ) -> DataFrame:
-    """(node, rank) after ``n_iter`` power iterations.
+    """(node, rank) after up to ``n_iter`` power iterations.
 
     Semantics (the classic formulation): edges dedupe to a simple
     directed graph; every node starts at 1/N; each iteration
@@ -38,6 +40,21 @@ def pagerank(
     + dangling_mass/N)`` where dangling_mass is the rank held by
     zero-out-degree nodes (redistributed uniformly, so total rank stays
     1). Deterministic: intermediate ranks round to 9 decimals.
+
+    ``node_universe`` (optional, first column = node id): nodes that
+    exist even without edges. ISOLATED nodes then participate — they
+    hold rank (they are dangling, so their mass redistributes) and
+    appear in the output — instead of being silently absent, which is
+    what deriving N from edge endpoints alone does. The universe is
+    unioned with edge endpoints, so an incomplete universe can only add
+    nodes, never drop edge traffic.
+
+    ``tol`` (optional): L1 early stop — iteration halts once
+    ``sum(|rank - prev_rank|) < tol``. The probe is one scalar agg per
+    iteration (same bounded-collect style as CC convergence), so large
+    ``n_iter`` budgets don't pay for iterations past convergence.
+    Default None keeps the fixed-iteration mode bit-for-bit stable for
+    the SQL-unrolled oracle (q57).
     """
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
@@ -46,9 +63,15 @@ def pagerank(
                          F.col(dst).cast("string").alias("dst"))
             .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
             .distinct())
-    nodes = mat(e.select(F.col("src").alias("node"))
-                .unionByName(e.select(F.col("dst").alias("node")))
-                .distinct())
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node"))))
+    if node_universe is not None:
+        uni_col = node_universe.columns[0]
+        nodes = nodes.unionByName(
+            node_universe.select(
+                F.col(uni_col).cast("string").alias("node"))
+            .filter(F.col("node").isNotNull()))
+    nodes = mat(nodes.distinct())
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
@@ -69,7 +92,7 @@ def pagerank(
             ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
         )
-        ranks = mat(
+        new_ranks = mat(
             nodes.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -80,4 +103,15 @@ def pagerank(
                                  + F.col("dm") / n),
                     9).alias("rank"))
         )
+        if tol is not None:
+            delta = (new_ranks.join(
+                ranks.select("node", F.col("rank").alias("__prev")),
+                "node")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("__prev")))
+                     .alias("d")).collect()[0]["d"]) or 0.0
+            ranks = new_ranks
+            if delta < tol:
+                break
+        else:
+            ranks = new_ranks
     return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -292,3 +292,29 @@ def test_rank_tfidf_custom_materializer(spark, tmp_path):
         docs, "spark window", k=10, id_col="doc_id", text_col="text",
         materializer=scratch).collect()]
     assert durable == default and len(calls) == 1
+
+
+def test_facets_single_scan_plan(spark, tmp_path):
+    """VERDICT r03 #9: ALL facets come from ONE scan of the feed — the
+    optimized plan contains exactly one parquet scan regardless of how
+    many facet columns are requested."""
+    p = str(tmp_path / "flat")
+    spark.createDataFrame(pd.DataFrame({
+        "entity_type": ["sw", "sw", "person", None],
+        "label": ["a", "b", "b", "c"],
+        "langs": [["en"], ["en", "fr"], None, ["de"]],
+    })).write.parquet(p)
+    flat = spark.read.parquet(p)
+    out = ix.facets(flat, ["entity_type", "label", "langs"], k=10)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation") == 1, plan
+    rows = {(r.facet, r.value): r.n for r in out.collect()}
+    # semantics unchanged from the per-branch version
+    assert rows[("entity_type", "sw")] == 2
+    assert rows[("entity_type", "person")] == 1
+    assert ("entity_type", "None") not in rows
+    assert rows[("langs", "en")] == 2 and rows[("langs", "de")] == 1
+    assert rows[("label", "b")] == 2
+    # k is enforced per facet with (n desc, value asc) tie-break
+    top1 = ix.facets(flat, ["label"], k=1).collect()
+    assert [(r.facet, r.value, r.n) for r in top1] == [("label", "b", 2)]
