@@ -830,6 +830,19 @@ def q51_search_tfidf(spark, sf_dir):
                       id_col="doc_id", text_col="text")
 
 
+def q59_search_bm25(spark, sf_dir):
+    """Okapi BM25 ranked search (kb/indexing.rank_bm25): the reference's
+    actual ES scoring model (Lucene default similarity, k1=1.2 b=0.75)
+    implemented natively — closes the scoring-parity gap q51's tf-idf
+    explicitly scoped out. One scan (array-filter tf/dl, no explode),
+    one broadcast stats row; oracle reproduces idf/length-normalization
+    bit-for-bit at 6 decimals."""
+    from softcite_kb_spark.kb.indexing import rank_bm25
+    d = _t(spark, sf_dir, "documents")
+    return rank_bm25(d, "spark window merge", k=15,
+                     id_col="doc_id", text_col="text")
+
+
 def q52_corpus_prep(spark, sf_dir):
     """End-to-end corpus-prep pipeline (plans/corpus.CorpusPipeline):
     clean (PII scrub + normalization) -> exact dedup keep-min with
@@ -1015,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_near_dup_multitable": q56_near_dup_multitable,
         "q57_pagerank": q57_pagerank,
         "q58_png_decode": q58_png_decode,
+        "q59_search_bm25": q59_search_bm25,
     }
 
 
@@ -1440,6 +1454,49 @@ def oracle_sql() -> dict[str, str]:
         "q46_emb_near_dup_lsh": _near_dup_lsh_oracle_sql(),
         "q56_near_dup_multitable": _near_dup_multitable_oracle_sql(),
         "q57_pagerank": _pagerank_oracle_sql(),
+        # q59: Okapi BM25 — same tokenizer as q51; Robertson idf and
+        # length normalization with literals cast ::DOUBLE (DuckDB
+        # evaluates bare decimal literals in DECIMAL, one ulp off
+        # Spark's doubles); contribution order = sorted terms
+        # (merge, spark, window), operation order mirrored exactly
+        "q59_search_bm25": """
+            WITH per AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), t -> t <> ''))::DOUBLE AS dl,
+                     len(list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), t -> t = 'merge'))::DOUBLE AS tf0,
+                     len(list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), t -> t = 'spark'))::DOUBLE AS tf1,
+                     len(list_filter(string_split_regex(lower(text),
+                         '[^a-z0-9]+'), t -> t = 'window'))::DOUBLE AS tf2
+              FROM documents
+            ), stats AS (
+              SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+                     sum((tf0 > 0)::INT)::DOUBLE AS df0,
+                     sum((tf1 > 0)::INT)::DOUBLE AS df1,
+                     sum((tf2 > 0)::INT)::DOUBLE AS df2
+              FROM per
+            )
+            SELECT doc_id,
+                   round(
+                     ln(1.0::DOUBLE + (n - df0 + 0.5::DOUBLE)
+                        / (df0 + 0.5::DOUBLE)) * tf0 * 2.2::DOUBLE
+                       / (tf0 + 1.2::DOUBLE * (0.25::DOUBLE
+                          + 0.75::DOUBLE * dl / avgdl))
+                   + ln(1.0::DOUBLE + (n - df1 + 0.5::DOUBLE)
+                        / (df1 + 0.5::DOUBLE)) * tf1 * 2.2::DOUBLE
+                       / (tf1 + 1.2::DOUBLE * (0.25::DOUBLE
+                          + 0.75::DOUBLE * dl / avgdl))
+                   + ln(1.0::DOUBLE + (n - df2 + 0.5::DOUBLE)
+                        / (df2 + 0.5::DOUBLE)) * tf2 * 2.2::DOUBLE
+                       / (tf2 + 1.2::DOUBLE * (0.25::DOUBLE
+                          + 0.75::DOUBLE * dl / avgdl)), 6) AS score
+            FROM per, stats
+            WHERE greatest(tf0, tf1, tf2) > 0
+            ORDER BY score DESC, doc_id
+            LIMIT 15
+        """,
         # q58: the REAL PNG decoder vs a relational reconstruction —
         # uniform pixels make checksum = 3*w*h*v; stored-deflate IDAT
         # makes n_bytes closed-form: 68 + h*(1+3w) (sig 8 + IHDR 25 +

@@ -197,3 +197,77 @@ def rank_tfidf(df: DataFrame, query: str, k: int = 10,
     return (scored
             .orderBy(F.desc("score"), F.asc(id_col))
             .limit(k))
+
+
+def rank_bm25(df: DataFrame, query: str, k: int = 10,
+              id_col: str = "canonical_id", text_col: str = "all",
+              k1: float = 1.2, b: float = 0.75,
+              materializer=None) -> DataFrame:
+    """Okapi BM25 ranked full-text search — the reference's actual ES
+    scoring model (kb_es_indexing.py delegates to ES, whose default
+    similarity is BM25 with k1=1.2, b=0.75), implemented natively and
+    deterministically so a SQL oracle reproduces it bit-for-bit.
+
+    Model: lowercase alphanumeric tokens (same tokenizer as
+    :func:`rank_tfidf`); OR-match; per-term
+    ``idf = ln(1 + (N - df + 0.5) / (df + 0.5))`` (Robertson, the
+    non-negative "+1" variant ES/Lucene uses);
+    ``score = sum_t idf_t * tf_t*(k1+1) / (tf_t + k1*(1 - b + b*dl/avgdl))``
+    with dl = the doc's token count and avgdl its corpus mean (docs with
+    zero tokens included). Rounded to 6 decimals; ties break on id.
+
+    Plan shape — better than the tfidf explode: ONE projection computes
+    dl and every query term's tf via array size/filter (no explode, no
+    per-doc shuffle at all), materialized behind the injectable barrier
+    because it feeds both the stats row and the scores (and because
+    Catalyst projection collapse would otherwise re-split the text once
+    per term). Corpus stats (N, avgdl, every df_t) reduce to ONE
+    single-row aggregate broadcast back — so the whole query is one
+    scan + one scalar agg, no shuffle on the big side.
+    """
+    terms = sorted({t for t in re.split(r"[^a-z0-9]+", query.lower()) if t})
+    if not terms:
+        raise ValueError("query has no alphanumeric tokens")
+    if materializer is None:
+        from softcite_kb_spark.materialize import (
+            local_checkpoint_materializer as materializer)
+
+    def tf_of(term):
+        # factory closes over term (loop-var default args become the
+        # element INDEX under higher-order-function arity inspection)
+        return F.size(F.filter("__toks", lambda t: t == F.lit(term)))
+
+    per_doc = materializer(
+        df.select(
+            F.col(id_col),
+            F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                     lambda t: t != "").alias("__toks"))
+        .select(
+            id_col,
+            F.size("__toks").cast("double").alias("dl"),
+            *[tf_of(t).cast("double").alias(f"tf{i}")
+              for i, t in enumerate(terms)]))
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("dl").alias("__avgdl"),
+        *[F.sum((F.col(f"tf{i}") > 0).cast("double")).alias(f"df{i}")
+          for i in range(len(terms))])
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    contribs = []
+    for i in range(len(terms)):
+        idf = F.log(F.lit(1.0)
+                    + (F.col("__n") - F.col(f"df{i}") + 0.5)
+                    / (F.col(f"df{i}") + 0.5))
+        tf = F.col(f"tf{i}")
+        norm = tf + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+        contribs.append(idf * tf * (k1 + 1.0) / norm)
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    matched = F.greatest(*[F.col(f"tf{i}")
+                           for i in range(len(terms))]) > 0 \
+        if len(terms) > 1 else F.col("tf0") > 0
+    return (scored.filter(matched)
+            .select(id_col, F.round(total, 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))

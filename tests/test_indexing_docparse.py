@@ -2,6 +2,7 @@
 (F14, S4/S6)."""
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from softcite_kb_spark.functions import docparse as dp
@@ -318,3 +319,82 @@ def test_facets_single_scan_plan(spark, tmp_path):
     # k is enforced per facet with (n desc, value asc) tie-break
     top1 = ix.facets(flat, ["label"], k=1).collect()
     assert [(r.facet, r.value, r.n) for r in top1] == [("label", "b", 2)]
+
+
+def test_rank_bm25_matches_python_reference(spark):
+    """Okapi BM25 vs a plain-Python reference (Robertson idf, k1/b
+    length normalization, OR-match, 6-decimal round, id tiebreak)."""
+    import math
+    import re as _re
+
+    texts = {1: "spark spark spark merge common", 2: "rareword common window",
+             3: "common common", 4: "nothing here at all", 5: "",
+             6: "spark window", 7: "spark window"}
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": list(texts), "text": list(texts.values())}))
+    got = [(r.doc_id, r.score) for r in ix.rank_bm25(
+        docs, "spark rareword window", k=10, id_col="doc_id",
+        text_col="text").collect()]
+
+    def ref(query, k1=1.2, b=0.75):
+        terms = sorted({t for t in _re.split(r"[^a-z0-9]+", query.lower())
+                        if t})
+        toks = {d: [t for t in _re.split(r"[^a-z0-9]+", s.lower()) if t]
+                for d, s in texts.items()}
+        n = len(toks)
+        avgdl = sum(len(v) for v in toks.values()) / n
+        out = {}
+        for d, tk in toks.items():
+            s, hit = 0.0, False
+            for t in terms:
+                tf = tk.count(t)
+                dfq = sum(1 for v in toks.values() if t in v)
+                if tf:
+                    hit = True
+                idf = math.log(1 + (n - dfq + 0.5) / (dfq + 0.5))
+                s += (idf * tf * (k1 + 1)
+                      / (tf + k1 * (1 - b + b * len(tk) / avgdl)))
+            if hit:
+                out[d] = round(s, 6)
+        return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    assert got == ref("spark rareword window")
+    # identical docs tie and break on id
+    pair = [x for x in got if x[0] in (6, 7)]
+    assert pair[0][1] == pair[1][1] and pair[0][0] == 6
+    with pytest.raises(ValueError, match="alphanumeric"):
+        ix.rank_bm25(docs, "???", id_col="doc_id", text_col="text")
+
+
+def test_rank_bm25_custom_materializer_and_plan(spark, tmp_path):
+    """Barrier injectable; and the big side takes ONE scan with no
+    explode (tf/dl come from array ops in a single projection)."""
+    import os
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["spark spark merge", "merge window", "spark window"]}))
+    calls = []
+
+    def scratch(df):
+        p = os.path.join(tmp_path, f"s{len(calls)}")
+        calls.append(p)
+        df.write.mode("overwrite").parquet(p)
+        return spark.read.parquet(p)
+
+    a = [(r.doc_id, r.score) for r in ix.rank_bm25(
+        docs, "spark window", k=10, id_col="doc_id",
+        text_col="text").collect()]
+    b = [(r.doc_id, r.score) for r in ix.rank_bm25(
+        docs, "spark window", k=10, id_col="doc_id", text_col="text",
+        materializer=scratch).collect()]
+    assert a == b and len(calls) == 1
+    # plan shape: the materialized per-doc stats are parquet-backed; the
+    # final plan reads them once for stats and once broadcast-joined —
+    # no Generate (explode) anywhere
+    p = str(tmp_path / "docs")
+    docs.write.parquet(p)
+    plan = ix.rank_bm25(spark.read.parquet(p), "spark window", k=10,
+                        id_col="doc_id", text_col="text") \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "Generate" not in plan
