@@ -301,3 +301,64 @@ def test_jsonl_empty_object_not_corrupt(spark, tmp_path):
     assert len(corrupt) == 1 and corrupt[0]._corrupt == "not json"
     assert len(clean) == 3
     assert {r.entity.id for r in clean} == {"Q1", None}
+
+
+def test_fetch_cached_dedup_writeback_and_failure_cache(spark, tmp_path):
+    """sources/fetch.fetch_cached: each distinct URL fetches ONCE per
+    call (side effect counted via marker files — transports run on
+    executors), results commit to the cache table, cached failures are
+    not re-fetched unless retry_failures=True."""
+    import os
+
+    from softcite_kb_spark.sources.fetch import fetch_cached
+    from softcite_kb_spark.storage import TableStore
+
+    marks = str(tmp_path / "marks")
+    os.makedirs(marks)
+
+    def transport(url):
+        with open(os.path.join(marks, url.replace("/", "_")), "a") as f:
+            f.write("x\n")
+        if "bad" in url:
+            raise IOError("boom")
+        return f"payload:{url}".encode()
+
+    def n_calls():
+        total = 0
+        for f in os.listdir(marks):
+            with open(os.path.join(marks, f)) as fh:
+                total += sum(1 for _ in fh)
+        return total
+
+    store = TableStore(str(tmp_path / "cache"))
+    reqs = spark.createDataFrame(pd.DataFrame(
+        {"url": ["http://a/1", "http://a/1", "http://a/2", "http://bad/x"],
+         "tag": ["p", "q", "r", "s"]}))
+    out = fetch_cached(reqs, store, transport, n_tasks=2)
+    rows = {(r.tag): (bytes(r.data) if r.data is not None else None,
+                      r.success, r.from_cache) for r in out.collect()}
+    assert rows["p"] == (b"payload:http://a/1", True, False)
+    assert rows["q"] == (b"payload:http://a/1", True, False)
+    assert rows["r"] == (b"payload:http://a/2", True, False)
+    assert rows["s"] == (None, False, False)
+    assert n_calls() == 3  # duplicate URL fetched once; failure counted
+
+    # second call: everything settled -> ZERO transport calls, all hits
+    out2 = fetch_cached(reqs, store, transport, n_tasks=2)
+    assert n_calls() == 3
+    assert all(r.from_cache for r in out2.collect())
+    # cached failure row comes back as a failure, not dropped
+    s2 = [r for r in out2.collect() if r.tag == "s"][0]
+    assert s2.success is False and s2.from_cache
+
+    # a new URL fetches exactly once more
+    reqs3 = spark.createDataFrame(pd.DataFrame(
+        {"url": ["http://a/3", "http://a/1"], "tag": ["t", "u"]}))
+    out3 = {r.tag: r.from_cache for r in
+            fetch_cached(reqs3, store, transport, n_tasks=2).collect()}
+    assert n_calls() == 4
+    assert out3 == {"t": False, "u": True}
+
+    # retry_failures re-fetches ONLY the failed key
+    fetch_cached(reqs, store, transport, n_tasks=2, retry_failures=True)
+    assert n_calls() == 5
