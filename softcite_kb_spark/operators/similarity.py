@@ -428,15 +428,21 @@ def embedding_near_dup_pairs(
     """
     from softcite_kb_spark.operators.dedup import cap_buckets
 
+    from softcite_kb_spark.materialize import local_checkpoint_materializer
+
     if n_tables < 1:
         raise ValueError("n_tables must be >= 1")
     if n_tables == 1:
         # single table: carry vectors through the one self-join — no
-        # candidate dedup, no vector re-join needed
+        # candidate dedup, no vector re-join needed. The barrier matters
+        # doubly here: the capped plan is consumed by the cap's own
+        # count/anti-join branches AND both self-join sides — without it
+        # the hyperplane projection would run up to 4x.
         b = df.select(id_col, vec_col).withColumn(
             "bucket", hyperplane_signs(F.col(vec_col), dim, n_planes,
                                        seed=seed))
-        b = cap_buckets(b, ["bucket"], max_bucket)
+        b = (materializer or local_checkpoint_materializer)(
+            cap_buckets(b, ["bucket"], max_bucket))
         l, r = b.alias("l"), b.alias("r")
         return (
             l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
@@ -447,8 +453,6 @@ def embedding_near_dup_pairs(
             .select(F.col(f"l.{id_col}").alias("id_a"),
                     F.col(f"r.{id_col}").alias("id_b"), "cos")
         )
-
-    from softcite_kb_spark.materialize import local_checkpoint_materializer
 
     buckets = F.array(*[
         hyperplane_signs(F.col(vec_col), dim, n_planes, seed=seed + 101 * t)

@@ -269,9 +269,15 @@ class TableStore:
         # themselves, so Spark's own partition-value encoding is used on
         # both sides of the comparison.
         written = set(self._partition_leaf_dirs(data_dir, part_by))
-        owned = written | self._probe_leaf_dirs(
-            df.sparkSession, affected,
-            key_universe.select(*part_by).schema, part_by, data_dir)
+        if len(written) == len(affected):
+            # every affected tuple produced a leaf (written leaves come
+            # only from affected-partition rows, and leaf-name encoding
+            # is injective) — no emptied partition, no probe needed
+            owned = written
+        else:
+            owned = written | self._probe_leaf_dirs(
+                df.sparkSession, affected,
+                key_universe.select(*part_by).schema, part_by)
         for rel in self._partition_leaf_dirs(snap.path, part_by):
             if rel not in owned:
                 self._link_tree(os.path.join(snap.path, rel),
@@ -412,23 +418,30 @@ class TableStore:
         return cur.join(inc, cond, "left_anti")
 
     def _probe_leaf_dirs(self, spark: SparkSession, tuples: list,
-                         part_schema, part_by: list[str],
-                         probe_base: str) -> set[str]:
+                         part_schema, part_by: list[str]) -> set[str]:
         """Exact Spark-encoded leaf-directory names for the given
         partition tuples, obtained by WRITING them: a one-task write of
         the (driver-bounded, <= _MAX_PRUNED_PARTITIONS) tuples with a
         dummy payload column, partitioned the same way — hand-rendering
         the values would re-open every escaping/type-formatting question
-        the leaf-path comparison exists to avoid."""
+        the leaf-path comparison exists to avoid. The probe lives in a
+        throwaway tempdir OUTSIDE the table directory (a crash mid-probe
+        must not orphan files where snapshot machinery walks)."""
+        import tempfile
+
         if not tuples:
             return set()
-        probe = probe_base + ".leafprobe"
-        tdf = spark.createDataFrame([tuple(t) for t in tuples], part_schema)
-        (tdf.withColumn("__probe", F.lit(1)).coalesce(1)
-            .write.mode("overwrite").partitionBy(*part_by).parquet(probe))
-        leaves = set(self._partition_leaf_dirs(probe, part_by))
-        shutil.rmtree(probe, ignore_errors=True)
-        return leaves
+        tmp = tempfile.mkdtemp(prefix="skb-leafprobe-")
+        try:
+            probe = os.path.join(tmp, "probe")
+            tdf = spark.createDataFrame([tuple(t) for t in tuples],
+                                        part_schema)
+            (tdf.withColumn("__probe", F.lit(1)).coalesce(1)
+                .write.mode("overwrite").partitionBy(*part_by)
+                .parquet(probe))
+            return set(self._partition_leaf_dirs(probe, part_by))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     @staticmethod
     def _partition_leaf_dirs(root: str, part_by: list[str]) -> list[str]:
