@@ -270,6 +270,119 @@ def vote_links(
     )
 
 
+def surface_stats(folded_mentions: DataFrame) -> DataFrame:
+    """(norm_surface, total n_mentions) — the only conversation-dependent
+    input the voting decision needs (see :func:`vote_links_surface`).
+    One map-side-combined groupBy whose key space is DISTINCT SURFACES,
+    not mention groups."""
+    return folded_mentions.groupBy("norm_surface").agg(
+        F.sum("n_mentions").alias("surface_mentions"))
+
+
+def generate_surface_candidates(
+    stats: DataFrame,
+    authority_entities: DataFrame,
+    authority_ids: DataFrame | None = None,
+    triples: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate (surface, entity, method, score) rows at SURFACE
+    granularity — the blocking join keyed on norm_surface makes the
+    candidate set, the method prior, and the language post-validation
+    all pure functions of the surface, so expanding them per
+    conversation group (as :func:`generate_candidates` does) multiplies
+    identical rows by the number of conversations for no information.
+    ``stats`` is :func:`surface_stats` output; ``surface_mentions``
+    rides along for the voting stage."""
+    keys = authority_block_keys(authority_entities)
+    if authority_ids is not None:
+        pkg = (
+            authority_ids.filter(F.col("id_kind") == "pkg")
+            .select(norm_name(F.col("id_value")).alias("block_key"),
+                    "entity_id",
+                    F.lit(METHOD_STRONG_ID).alias("method"))
+        )
+        keys = keys.unionByName(pkg)
+    cands = (
+        stats.join(F.broadcast(keys),
+                   stats.norm_surface == keys.block_key, "inner")
+        .drop("block_key")
+    )
+    score_map = F.create_map(
+        *[x for kv in _METHOD_SCORE.items()
+          for x in (F.lit(kv[0]), F.lit(kv[1]))])
+    cands = cands.withColumn("score", score_map[F.col("method")])
+    if triples is not None:
+        ml = mention_langs(triples)
+        el = entity_langs(authority_entities)
+        cands = (
+            cands
+            .join(ml, "norm_surface", "left")
+            .join(F.broadcast(el), "entity_id", "left")
+            .filter(
+                F.col("mention_langs").isNull()
+                | F.col("langs").isNull()
+                | (F.size("mention_langs") == 0)
+                | (F.size("langs") == 0)
+                | F.arrays_overlap("mention_langs", "langs")
+            )
+            .drop("mention_langs", "langs")
+        )
+    return cands
+
+
+def vote_links_surface(
+    candidates: DataFrame,
+    min_total: int = 2,
+    majority: float = 0.5,
+) -> DataFrame:
+    """:func:`vote_links` collapsed to surface granularity — EXACTLY the
+    same accepted set, derived from the observation that candidate sets
+    are surface-pure:
+
+    for a surface s, every conversation group carries the SAME candidate
+    entities with the SAME scores (the blocking join keys on s alone),
+    so the per-group best-score filter selects one best set B(s) shared
+    by all groups, and the per-(s, e) vote sum factorizes to
+    ``votes(s, e) = M(s)`` for every e in B(s), where M(s) is the
+    surface's total mention count. total_votes = |B(s)| * M(s); the
+    majority rule reduces to |B(s)| < 1/majority and the tie-break to
+    min entity id within B(s).
+
+    Plan consequence at 10^12 turns: the voting shuffle's input drops
+    from O(mention groups x candidates) rows to O(distinct surfaces x
+    candidates) — and every window here partitions over surface-level
+    rows (a handful of candidates each), so the hot-surface skew that
+    motivated the group-level plan's groupBy-based rep selection cannot
+    funnel a reducer. Equality with the group-level path is pinned by
+    tests on every fixture corpus.
+    """
+    per = (
+        candidates
+        .groupBy("norm_surface", "entity_id")
+        .agg(F.max(F.struct("score", "method")).alias("best"),
+             F.first("surface_mentions").alias("votes"))
+    )
+    wg = W.partitionBy("norm_surface")
+    per = (
+        per.withColumn("__mx", F.max(F.col("best.score")).over(wg))
+        .filter(F.col("best.score") == F.col("__mx"))
+        .withColumn("__b", F.count("*").over(wg))
+        .withColumn("total_votes", F.col("__b") * F.col("votes"))
+    )
+    rank = W.partitionBy("norm_surface").orderBy(F.asc("entity_id"))
+    return (
+        per.withColumn("rn", F.row_number().over(rank))
+        .filter(
+            (F.col("rn") == 1)
+            & (F.col("total_votes") >= min_total)
+            & (F.col("votes") > F.col("total_votes") * majority)
+        )
+        .select("norm_surface", "entity_id", "votes", "total_votes",
+                F.col("best.score").alias("score"),
+                F.col("best.method").alias("method"))
+    )
+
+
 def link_mentions(
     folded_mentions: DataFrame,
     authority_entities: DataFrame,
@@ -277,14 +390,22 @@ def link_mentions(
     triples: DataFrame | None = None,
     min_total: int = 2,
 ) -> DataFrame:
-    """Full stage-2: candidates -> voting -> per-mention-group links.
+    """Full stage-2: surface-level candidates -> voting -> per-group links.
 
     Returns folded_mentions columns + (entity_id, link_method, link_score);
     entity_id NULL = unlinked (OOV or below voting thresholds).
+
+    The decision runs at surface granularity (:func:`vote_links_surface`
+    — provably identical to the group-level :func:`vote_links` path,
+    which remains as the reference implementation and the
+    similarity-scoring building block): the 10^12-row mention table is
+    touched exactly twice, once by the map-side-combined surface stats
+    and once by the final accepted-map join.
     """
-    cands = generate_candidates(
-        folded_mentions, authority_entities, authority_ids, triples)
-    accepted = vote_links(cands, min_total=min_total).select(
+    stats = surface_stats(folded_mentions)
+    cands = generate_surface_candidates(
+        stats, authority_entities, authority_ids, triples)
+    accepted = vote_links_surface(cands, min_total=min_total).select(
         "norm_surface",
         F.col("entity_id"),
         F.col("method").alias("link_method"),

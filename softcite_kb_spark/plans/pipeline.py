@@ -509,9 +509,14 @@ class KGPipeline:
                if self.store.exists("authority_ids") else None)
         triples = self.store.read(self.spark, "triples").drop("bucket")
         if self.config.similarity_scoring:
-            cands = lk.generate_candidates(folded, auth, ids, triples)
+            # surface-granularity decision (see vote_links_surface): the
+            # trigram rescoring is surface-pure like the method prior,
+            # so it blends per (surface, entity) row, not per group
+            stats = lk.surface_stats(folded)
+            cands = lk.generate_surface_candidates(stats, auth, ids,
+                                                   triples)
             cands = lk.score_candidates_similarity(cands, auth)
-            accepted = lk.vote_links(
+            accepted = lk.vote_links_surface(
                 cands, min_total=self.config.min_vote_total).select(
                 "norm_surface", "entity_id",
                 F.col("method").alias("link_method"),
