@@ -273,26 +273,17 @@ def match_pairs(linked_mentions: DataFrame) -> DataFrame:
     )
 
 
-def canonical_map(linked_mentions: DataFrame, max_iter: int = 25,
-                  algorithm: str = "label-propagation",
-                  star_rounds: int = 50,
-                  materializer: Materializer | None = None) -> DataFrame:
-    """(node_id, conv_id, norm_surface, entity_id, canonical_id).
-
-    canonical_id prefers a component's authority-entity hub ("e:Qxx") if the
-    component contains one — matching the reference's rule that merges
-    anchor on the curated entity — else the min mention node id.
-    Singleton mention-groups (no pairs) are their own canonical.
-
-    ``algorithm``: "label-propagation" (O(diameter) rounds — right for the
-    near-star graphs blocking emits; budget = ``max_iter``) or "star"
-    (large-star/small-star, O(log n) rounds on any topology — the
-    defensive choice when edge data may contain long chains; budget =
-    ``star_rounds``, a separate knob because star rounds and LP iterations
-    are different units and the star path REFUSES to return non-converged
-    labelings). ``materializer`` is the per-round lineage barrier,
-    threaded to whichever CC runs (scratch tables on a cluster).
-    """
+def canonical_map_group_level(
+        linked_mentions: DataFrame, max_iter: int = 25,
+        algorithm: str = "label-propagation",
+        star_rounds: int = 50,
+        materializer: Materializer | None = None) -> DataFrame:
+    """REFERENCE implementation of :func:`canonical_map`: CC over the
+    full GROUP-level match-pair graph (one node per conversation
+    mention group). Semantically general but its node count is
+    O(mention groups) = O(corpus); the production path collapses to
+    surface granularity (see canonical_map) and is pinned equal to
+    this one by tests."""
     nodes = linked_mentions.withColumn(
         "node_id", mention_node_id(F.col("conv_id"), F.col("norm_surface")))
     pairs = match_pairs(linked_mentions)
@@ -320,6 +311,90 @@ def canonical_map(linked_mentions: DataFrame, max_iter: int = 25,
         .withColumn("canonical_id", F.coalesce("canonical_id", "node_id"))
     )
     return out
+
+
+def canonical_map(linked_mentions: DataFrame, max_iter: int = 25,
+                  algorithm: str = "label-propagation",
+                  star_rounds: int = 50,
+                  materializer: Materializer | None = None) -> DataFrame:
+    """(node_id, conv_id, norm_surface, entity_id, canonical_id).
+
+    canonical_id prefers a component's authority-entity hub ("e:Qxx") if the
+    component contains one — matching the reference's rule that merges
+    anchor on the curated entity — else the min mention node id.
+    Singleton mention-groups (no pairs) are their own canonical.
+
+    Scale collapse (same observation that factorized the stage-2 vote):
+    in the group-level match graph every conversation group of surface s
+    hangs as a LEAF off its surface representative, and all of s's
+    groups share one accepted entity — so component structure is fully
+    determined by the SURFACE <-> entity graph. CC therefore runs on
+    "s:<surface>" / "e:<entity>" nodes — O(distinct surfaces), not
+    O(mention groups) — and component ids propagate back to groups by a
+    single join on norm_surface. Canonical selection is exact: the
+    entity hub if the component has one, else the min group node id
+    across the component's surfaces (per-surface min via map-side
+    groupBy — the hot-surface "R" skew never funnels a window).
+    The group-level path remains as
+    :func:`canonical_map_group_level`; equality is pinned by tests.
+
+    ``algorithm``: "label-propagation" (O(diameter) rounds — right for the
+    near-star graphs blocking emits; budget = ``max_iter``) or "star"
+    (large-star/small-star, O(log n) rounds on any topology — the
+    defensive choice when edge data may contain long chains; budget =
+    ``star_rounds``, a separate knob because star rounds and LP iterations
+    are different units and the star path REFUSES to return non-converged
+    labelings). ``materializer`` is the per-round lineage barrier,
+    threaded to whichever CC runs (scratch tables on a cluster).
+    """
+    nodes = linked_mentions.withColumn(
+        "node_id", mention_node_id(F.col("conv_id"), F.col("norm_surface")))
+    # per-surface min group node id — the rep every group of s links to
+    # in the group-level graph, and the fallback canonical id
+    sreps = nodes.groupBy("norm_surface").agg(
+        F.min("node_id").alias("srep"))
+    sedges = (
+        nodes.filter(F.col("entity_id").isNotNull())
+        .select(F.concat(F.lit("s:"), F.col("norm_surface")).alias("src"),
+                F.concat(F.lit("e:"), F.col("entity_id")).alias("dst"))
+        .distinct()
+    )
+    if algorithm == "star":
+        cc = connected_components_star(sedges, max_rounds=star_rounds,
+                                       materializer=materializer)
+    else:
+        cc = connected_components(sedges, max_iter=max_iter,
+                                  materializer=materializer)
+    scomp = (
+        cc.filter(F.col("member_id").startswith("s:"))
+        .select(F.expr("substring(member_id, 3)").alias("norm_surface"),
+                "component_id")
+    )
+    hubs = (
+        cc.filter(F.col("member_id").startswith("e:"))
+        .groupBy("component_id")
+        .agg(F.min("member_id").alias("entity_hub"))
+    )
+    # min group node id per component (fallback canonical when a
+    # component somehow has no entity hub — possible if CC input edges
+    # are extended with surface<->surface pairs later)
+    comp_min = (
+        sreps.join(scomp, "norm_surface")
+        .groupBy("component_id")
+        .agg(F.min("srep").alias("comp_min"))
+    )
+    surface_canon = (
+        sreps.join(scomp, "norm_surface", "left")
+        .join(hubs, "component_id", "left")
+        .join(comp_min, "component_id", "left")
+        .select(
+            "norm_surface",
+            F.coalesce("entity_hub", "comp_min", "srep")
+            .alias("canonical_id"))
+    )
+    return nodes.join(surface_canon, "norm_surface", "left") \
+        .withColumn("canonical_id", F.coalesce("canonical_id",
+                                               F.col("node_id")))
 
 
 def fold_statements(

@@ -270,3 +270,30 @@ def test_build_nodes_label_most_frequent_raw(spark):
     assert len(nodes) == 1
     assert nodes[0].label == "Statlib"           # 3 convs vs 1, not "STATLIB"
     assert sorted(nodes[0].aliases) == ["STATLIB", "Statlib"]
+
+
+def test_canonical_map_surface_collapse_equals_group_level(spark, corpus):
+    """The surface-granularity CC (production canonical_map) must equal
+    the group-level reference (canonical_map_group_level) EXACTLY —
+    same canonical for every mention group — under both CC algorithms
+    and with unlinked surfaces present."""
+    from softcite_kb_spark import datagen
+    from softcite_kb_spark.operators import extraction as ex
+    from softcite_kb_spark.operators import linking as lk
+
+    bl = spark.createDataFrame(pd.DataFrame({"term": datagen.BLACKLIST}))
+    triples = ex.extract_triples(corpus["transcripts"], bl)
+    folded = ex.fold_mentions(ex.mentions_from_triples(triples))
+    linked = lk.link_mentions(
+        folded, corpus["authority_entities"], corpus["authority_ids"],
+        triples, min_total=1)
+    assert linked.filter(F.col("entity_id").isNull()).count() > 0
+    for algorithm in ("label-propagation", "star"):
+        ref = cz.canonical_map_group_level(linked, algorithm=algorithm)
+        got = cz.canonical_map(linked, algorithm=algorithm)
+        cols = sorted(ref.columns)
+        assert sorted(got.columns) == cols
+        assert got.count() == ref.count()
+        a, b = got.select(*cols), ref.select(*cols)
+        assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty(), \
+            algorithm
