@@ -116,3 +116,61 @@ def test_prop_minhash_monotone_under_containment(spark):
     for i in range(2):
         sub, sup = mh[2 * i], mh[2 * i + 1]
         assert all(s2 <= s1 for s1, s2 in zip(sub, sup))
+
+
+def test_prop_png_roundtrip_random_images(spark):
+    """PNG encode -> decode is the identity over ~150 deterministic
+    md5-seeded images spanning dims 1..17, all channel counts, all five
+    scanline filters, and stored vs compressed deflate — checked in one
+    Python pass (the codec is the kernel of the mapInPandas stage)."""
+    import numpy as np
+
+    from softcite_kb_spark.operators import multimodal as mm
+
+    for i in range(150):
+        h = hashlib.md5(f"png:{i}".encode()).hexdigest()
+        rng = np.random.default_rng(int(h[:8], 16))
+        w = 1 + int(h[8:10], 16) % 17
+        ht = 1 + int(h[10:12], 16) % 17
+        c = (1, 3, 4)[i % 3]
+        shape = (ht, w) if c == 1 else (ht, w, c)
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        want = px if px.ndim == 3 else px[:, :, None]
+        b = mm.encode_png(px, filter_type=i % 5, level=(0, 6)[i % 2])
+        got = mm._decode_png_pixels(b)
+        assert np.array_equal(got, want), (i, shape, i % 5)
+        # every single-byte corruption of the chunk body region must
+        # either still decode to the SAME pixels or raise ValueError —
+        # never return wrong pixels silently (CRC catches body flips)
+        if i % 25 == 0:
+            pos = 8 + (int(h[12:16], 16) % (len(b) - 20))
+            bad = bytearray(b)
+            bad[pos] ^= 0xFF
+            try:
+                got2 = mm._decode_png_pixels(bytes(bad))
+                assert np.array_equal(got2, want), (i, pos)
+            except ValueError:
+                pass
+
+
+def test_prop_cap_buckets_equals_window_filter(spark):
+    """cap_buckets == window count filter for random bucket layouts and
+    caps, including empty input and cap larger than any bucket."""
+    from pyspark.sql import Window
+
+    rows = []
+    for i in range(400):
+        h = hashlib.md5(f"cb:{i}".encode()).hexdigest()
+        rows.append((i, int(h[:2], 16) % 7, int(h[2:4], 16) % 3))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id", "b1", "b2"])).persist()
+    for cap in (1, 3, 57, 10_000):
+        w = Window.partitionBy("b1", "b2")
+        want = sorted(r.id for r in df.withColumn(
+            "n", F.count("*").over(w)).filter(F.col("n") <= cap).collect())
+        got = sorted(r.id for r in dedup.cap_buckets(
+            df, ["b1", "b2"], cap).collect())
+        assert got == want, cap
+    empty = spark.createDataFrame([], df.schema)
+    assert dedup.cap_buckets(empty, ["b1", "b2"], 5).count() == 0
+    df.unpersist(blocking=True)
