@@ -192,3 +192,35 @@ def test_surface_voting_equals_group_voting_similarity_path(
     assert got.count() == ref.count()
     assert got.select(*cols).exceptAll(ref.select(*cols)).isEmpty()
     assert ref.select(*cols).exceptAll(got.select(*cols)).isEmpty()
+
+
+def test_link_mentions_plan_shape(spark, corpus, tmp_path):
+    """Scale-property regression guard: stage-2's physical plan must
+    (a) scan the mention table exactly twice (stats + final join),
+    (b) contain NO sort-merge join (authority dims broadcast; the
+    accepted map is small enough for AQE/broadcast at this scale), and
+    (c) shuffle at most twice (surface stats + the tiny surface-level
+    decision windows) — the surface-granularity collapse in plan form."""
+    bl = spark.createDataFrame(pd.DataFrame({"term": datagen.BLACKLIST}))
+    triples = ex.extract_triples(corpus["transcripts"], bl)
+    folded = ex.fold_mentions(ex.mentions_from_triples(triples))
+    fp = str(tmp_path / "folded")
+    tp = str(tmp_path / "triples")
+    folded.write.parquet(fp)
+    triples.write.parquet(tp)
+    out = lk.link_mentions(
+        spark.read.parquet(fp), corpus["authority_entities"],
+        corpus["authority_ids"], spark.read.parquet(tp), min_total=1)
+    import re
+
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    # the mention table appears once WIDE (final join probe side, carries
+    # conv_id) and once COLUMN-PRUNED to exactly (norm_surface,
+    # n_mentions) for the stats aggregate — pruning reached the scan
+    assert len(re.findall(r"FileScan parquet \[conv_id#", phys)) == 1
+    assert re.search(r"FileScan parquet \[norm_surface#\d+,n_mentions#\d+L\]",
+                     phys), phys
+    assert "SortMergeJoin" not in phys
+    # stats groupBy + mention_langs groupBy; decision windows ride the
+    # stats partitioning (ENSURE_REQUIREMENTS reuse)
+    assert phys.count("Exchange hashpartitioning") <= 3
