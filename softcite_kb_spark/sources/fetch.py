@@ -106,7 +106,10 @@ def fetch_cached(
         # returned plan, and a crash re-fetches only uncommitted keys
         store.merge(fetched, cache_table, key_cols=["cache_key"])
 
-    cache = store.read(spark, cache_table)
+    # an empty request set (or an all-hit one against a store whose
+    # cache table was never created) must not die on the re-read
+    cache = (store.read(spark, cache_table)
+             if store.exists(cache_table) else cache0)
     pre = settled.select("cache_key").withColumn("__pre", F.lit(True))
     return (keyed
             .join(cache.select("cache_key", "data", "success"),

@@ -362,3 +362,16 @@ def test_fetch_cached_dedup_writeback_and_failure_cache(spark, tmp_path):
     # retry_failures re-fetches ONLY the failed key
     fetch_cached(reqs, store, transport, n_tasks=2, retry_failures=True)
     assert n_calls() == 5
+
+
+def test_fetch_cached_empty_requests(spark, tmp_path):
+    """Empty request set against a store with no cache table yet: no
+    fetch, no crash, empty result with the full output schema."""
+    from softcite_kb_spark.sources.fetch import fetch_cached
+    from softcite_kb_spark.storage import TableStore
+
+    store = TableStore(str(tmp_path / "cache"))
+    reqs = spark.createDataFrame([], "url string, tag string")
+    out = fetch_cached(reqs, store, lambda u: b"x")
+    assert out.count() == 0
+    assert {"cache_key", "data", "success", "from_cache"} <= set(out.columns)
