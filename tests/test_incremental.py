@@ -305,3 +305,101 @@ def test_zero_yield_eviction_when_conv_is_buckets_sole_occupant(
     # and the merge actually took the pruned path (the bug's precondition)
     snap = st.current_snapshot("triples")
     assert snap.properties.get("merge_mode") == "pruned"
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_random_increment_sequences_equal_batch(spark, corpus_tables,
+                                                tmp_path, seed):
+    """Metamorphic stress: a SEEDED random sequence of increments —
+    new conversations, text-modified replacements, zero-yield
+    replacements, and an exact replay — must land on the identical KB
+    a single batch run over the final corpus produces. This drives the
+    append/merge/delete_keys/probe machinery through orderings the
+    hand-written tests don't."""
+    import random
+
+    rng = random.Random(seed)
+    dfs = _load(spark, corpus_tables)
+    convs = [r.conv_id for r in dfs["transcripts"].select("conv_id")
+             .distinct().orderBy("conv_id").collect()]
+    rng.shuffle(convs)
+    initial, rest = convs[:20], convs[20:]
+
+    # script of operations over the remaining conversations
+    gutted, modified = set(), set()
+    batches = []
+    pool = list(rest)
+    for step in range(4):
+        ops = []
+        # a few brand-new conversations
+        for _ in range(rng.randint(2, 5)):
+            if pool:
+                ops.append(("new", pool.pop()))
+        # replace some already-ingested conversation
+        seen = initial + [c for b in batches for _op, c in b]
+        chosen = set()
+        for _ in range(rng.randint(1, 3)):
+            c = rng.choice(seen)
+            if c in chosen:  # one op per conv per batch — a second op
+                continue      # would race the when-clause ordering
+            chosen.add(c)
+            kind = rng.choice(["gut", "modify", "resend"])
+            ops.append((kind, c))
+            if kind == "gut":
+                gutted.add(c)
+                modified.discard(c)
+            elif kind == "modify":
+                modified.add(c)
+                gutted.discard(c)
+            else:  # resend = original text; last writer wins
+                gutted.discard(c)
+                modified.discard(c)
+        batches.append(ops)
+
+    def final_text(col_conv, col_text):
+        t = F.when(col_conv.isin(list(gutted)), F.lit("plain words only"))
+        t = t.when(col_conv.isin(list(modified)),
+                   F.concat(col_text, F.lit(" Zeta depends on Alpha.")))
+        return t.otherwise(col_text)
+
+    all_t = dfs["transcripts"]
+    final_corpus_convs = set(initial) | {c for b in batches
+                                         for _op, c in b}
+    final_t = (all_t.filter(F.col("conv_id").isin(list(final_corpus_convs)))
+               .withColumn("text", final_text(F.col("conv_id"),
+                                              F.col("text"))))
+
+    # batch reference over the FINAL corpus
+    st_ref = TableStore(str(tmp_path / "ref"))
+    pipe_ref = KGPipeline(spark, st_ref, _cfg())
+    pipe_ref.write_transcripts(final_t)
+    for n in ("authority_entities", "authority_ids"):
+        st_ref.write(dfs[n], n)
+    pipe_ref.run(resume=False)
+
+    # incremental: initial load + the scripted increments
+    st = TableStore(str(tmp_path / "inc"))
+    pipe = KGPipeline(spark, st, _cfg())
+    pipe.write_transcripts(
+        all_t.filter(F.col("conv_id").isin(initial)))
+    for n in ("authority_entities", "authority_ids"):
+        st.write(dfs[n], n)
+    pipe.run(resume=False)
+    for ops in batches:
+        cids = [c for _op, c in ops]
+        batch = all_t.filter(F.col("conv_id").isin(cids))
+        gut_now = [c for op, c in ops if op == "gut"]
+        mod_now = [c for op, c in ops if op == "modify"]
+        batch = batch.withColumn(
+            "text",
+            F.when(F.col("conv_id").isin(gut_now),
+                   F.lit("plain words only"))
+            .when(F.col("conv_id").isin(mod_now),
+                  F.concat(F.col("text"),
+                           F.lit(" Zeta depends on Alpha.")))
+            .otherwise(F.col("text")))
+        pipe.ingest_increment(batch)
+
+    for t in ("triples", "mentions", "folded_mentions",
+              "statements", "nodes", "edges"):
+        _assert_tables_equal(spark, st_ref, st, t)
