@@ -253,3 +253,121 @@ def run_turn_rate_stream(stream: DataFrame, out_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+SESSION_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("key", T.StringType()),
+    T.StructField("session_start", T.DoubleType()),
+    T.StructField("session_end", T.DoubleType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("closed", T.BooleanType()),
+])
+
+SESSION_STATE_SCHEMA = T.StructType([
+    T.StructField("session_start", T.DoubleType()),
+    T.StructField("session_end", T.DoubleType()),
+    T.StructField("n_events", T.LongType()),
+])
+
+
+def streaming_sessions(stream: DataFrame, key_col: str = "conv_id",
+                       ts_col: str = "ts", gap_seconds: float = 1800.0,
+                       watermark: str = "1 hour") -> DataFrame:
+    """Stateful gap SESSIONIZATION over a stream — the streaming twin of
+    ``temporal.sessionize`` (same gap rule), built on
+    ``applyInPandasWithState`` with an EVENT-TIME timeout:
+
+      * within an update, events sort by time and a gap larger than
+        ``gap_seconds`` CLOSES the running session (emitted with
+        ``closed=true``) and opens the next — exact batch semantics for
+        everything that has arrived;
+      * the open session persists in the state store between triggers
+        and registers a timeout at ``session_end + gap``; when the
+        WATERMARK passes it (no qualifying event can arrive anymore),
+        the state times out and the session closes — bounded state at
+        unbounded runtime, and closure is event-time-correct rather
+        than wall-clock-dependent;
+      * progress rows for the still-open session are emitted with
+        ``closed=false`` (update output mode downstreams can show live
+        sessions; consumers wanting only final sessions filter on
+        ``closed``).
+
+    Timestamps are carried as epoch SECONDS (doubles) — ANSI mode
+    refuses timestamp->double casts, so the numeric view goes through
+    ``unix_micros``.
+    """
+    import pandas as pd
+
+    src = (
+        stream.withWatermark(ts_col, watermark)
+        .select(F.col(key_col).cast("string").alias("key"),
+                F.col(ts_col).alias("ts"),
+                (F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1e6)
+                 ).alias("__t"))
+    )
+
+    def update(key, pdf_iter, state):
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "key": [key[0]], "session_start": [start],
+                "session_end": [end], "n_events": [n],
+                "closed": [True]})
+            return
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start = end = None
+            n = 0
+        closed_rows = []
+        for pdf in pdf_iter:
+            for t in sorted(pdf["__t"].tolist()):
+                if start is None:
+                    start = end = t
+                    n = 1
+                elif t - end > gap_seconds:
+                    closed_rows.append((key[0], start, end, n, True))
+                    start = end = t
+                    n = 1
+                else:
+                    end = max(end, t)
+                    n += 1
+        state.update((start, end, n))
+        # close when the watermark passes the gap horizon (ms epoch)
+        state.setTimeoutTimestamp(int((end + gap_seconds) * 1000))
+        closed_rows.append((key[0], start, end, n, False))
+        yield pd.DataFrame(closed_rows, columns=[
+            "key", "session_start", "session_end", "n_events", "closed"])
+
+    return src.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="EventTimeTimeout",
+    )
+
+
+def run_session_stream(stream: DataFrame, out_dir: str,
+                       checkpoint_dir: str, key_col: str = "conv_id",
+                       ts_col: str = "ts", gap_seconds: float = 1800.0,
+                       watermark: str = "1 hour"):
+    sessions = streaming_sessions(stream, key_col, ts_col, gap_seconds,
+                                  watermark)
+
+    def handle(df: DataFrame, bid: int) -> None:
+        (df.withColumn("batch_id", F.lit(bid))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id")
+         .parquet(out_dir))
+
+    return (
+        sessions.writeStream
+        .outputMode("update")
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

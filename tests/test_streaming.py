@@ -106,3 +106,52 @@ def test_stream_dedup_exact(spark, tmp_path):
     assert "a different document" in texts
     # exactly one of the three same-fingerprint rows survived
     assert sum("same document" in t for t in texts) == 1
+
+
+def test_streaming_sessions_gap_and_timeout_close(spark, tmp_path):
+    """streaming_sessions closes sessions BOTH ways: an in-update gap
+    split (new event > gap after the open session) and an event-time
+    TIMEOUT (watermark passes end+gap with no new event for the key).
+    maxFilesPerTrigger=1 forces two micro-batches so the watermark
+    actually advances between files."""
+    import glob
+
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["conv_id", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pdf["turn_idx"] = pd.array([0] * len(pdf), dtype="int32")
+        pdf["role"] = "user"
+        pdf["text"] = "x"
+        pdf["tool"] = None
+        spark.createDataFrame(
+            pdf[["conv_id", "turn_idx", "role", "text", "tool", "ts"]],
+            schema=ing.TRANSCRIPT_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    t0 = "2026-01-05 09:00:"
+    write_file("f1", [("a", t0 + "00"), ("a", t0 + "10"),
+                      ("a", t0 + "20"), ("b", t0 + "05")])
+    write_file("f2", [("a", "2026-01-05 10:00:00")])
+
+    stream = (spark.readStream.schema(ing.TRANSCRIPT_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = str(tmp_path / "out")
+    q = ing.run_session_stream(stream, out, str(tmp_path / "ckpt"),
+                               gap_seconds=100.0, watermark="0 seconds")
+    q.awaitTermination(180)
+    rows = spark.read.parquet(out).collect()
+    closed = {(r.key, r.session_start, r.session_end, r.n_events)
+              for r in rows if r.closed}
+    base = pd.Timestamp("2026-01-05 09:00:00").timestamp()
+    # a's first session (3 events over 20s) closed — either by the gap
+    # split when the 10:00 event arrived or by timeout, depending on
+    # file->batch assignment; b's singleton closed by TIMEOUT only
+    assert ("a", base, base + 20.0, 3) in closed
+    assert ("b", base + 5.0, base + 5.0, 1) in closed
+    # a's second session exists as an open (closed=false) progress row
+    opens = {(r.key, r.session_start, r.n_events)
+             for r in rows if not r.closed}
+    assert ("a", base + 3600.0, 1) in opens
