@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from softcite_kb_spark.functions.text import block_key, norm_name  # noqa: E402
 from softcite_kb_spark.operators import dedup as dd  # noqa: E402
 from softcite_kb_spark.operators import extraction as ex  # noqa: E402
+from softcite_kb_spark.operators import linking as lk  # noqa: E402
 from softcite_kb_spark.operators import multimodal as mm  # noqa: E402
 from softcite_kb_spark.operators import similarity as sim  # noqa: E402
 from softcite_kb_spark.operators import textops as tx  # noqa: E402
@@ -365,6 +366,39 @@ def q24_fold_mentions_synthetic(spark, sf_dir):
     folded = ex.fold_mentions(ex.mentions_from_triples(triples))
     return folded.select("conv_id", "norm_surface", "n_mentions",
                          "first_turn_idx")
+
+
+def q60_link_decisions(spark, sf_dir):
+    """Stage-2 disambiguation voting (A8, knowledge_base.py:404-494)
+    value-checked END TO END: extraction -> mention folding -> surface
+    stats -> blocked candidates -> majority vote, against a synthetic
+    authority derived from `part` — one curated entity per part key,
+    with part keys divisible by 10 given an AMBIGUOUS label twin so the
+    majority rule's refusal path is exercised (|best set| = 2 splits
+    the vote exactly in half). min_total=2 also refuses single-mention
+    surfaces. The oracle reproduces the factorized voting algebra
+    (votes(s,e) = M(s) for the best set) relationally."""
+    t = _synthetic_transcripts(spark, sf_dir)
+    triples = ex.extract_triples(t, blacklist=None)
+    folded = ex.fold_mentions(ex.mentions_from_triples(triples))
+    part = _t(spark, sf_dir, "part")
+    base = part.select(
+        F.concat(F.lit("E"), F.col("p_partkey")).alias("entity_id"),
+        F.concat(F.lit("Part"), F.col("p_partkey")).alias("label"),
+        F.array().cast("array<string>").alias("aliases"))
+    twins = part.filter(F.col("p_partkey") % 10 == 0).select(
+        F.concat(F.lit("A"), F.col("p_partkey")).alias("entity_id"),
+        F.concat(F.lit("part"), F.col("p_partkey")).alias("label"),
+        F.array().cast("array<string>").alias("aliases"))
+    auth = base.unionByName(twins)
+    accepted = lk.vote_links_surface(
+        lk.generate_surface_candidates(lk.surface_stats(folded), auth),
+        min_total=2)
+    return accepted.select(
+        "norm_surface", "entity_id",
+        F.col("votes").cast("long").alias("votes"),
+        F.col("total_votes").cast("long").alias("total_votes"),
+        "score", "method")
 
 
 def q25_lsh_candidate_pairs(spark, sf_dir):
@@ -1029,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_pagerank": q57_pagerank,
         "q58_png_decode": q58_png_decode,
         "q59_search_bm25": q59_search_bm25,
+        "q60_link_decisions": q60_link_decisions,
     }
 
 
@@ -2258,6 +2293,52 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN langs l ON n.canonical_id = l.canonical_id
             LEFT JOIN rels r ON n.canonical_id = r.canonical_id
             LEFT JOIN ctx c ON n.canonical_id = c.canonical_id
+        """,
+        # q60: the disambiguation vote in SQL — mention folding (q24's
+        # oracle), surface totals, label-blocked candidates from the
+        # synthetic part-derived authority, and the factorized majority
+        # rule: votes(s,e) = M(s) for the best set; accept iff the
+        # winner (min entity id) holds a strict majority of
+        # |B| * M total votes and the total clears min_total=2
+        "q60_link_decisions": """
+            WITH m AS (
+              SELECT l_orderkey::VARCHAR AS conv_id,
+                     'part' || l_partkey AS norm_surface
+              FROM lineitem
+              UNION ALL
+              SELECT l_orderkey::VARCHAR, 'part' || l_suppkey
+              FROM lineitem
+            ), folded AS (
+              SELECT conv_id, norm_surface, count(*) AS n
+              FROM m GROUP BY 1, 2
+            ), stats AS (
+              SELECT norm_surface, sum(n)::BIGINT AS mtot
+              FROM folded GROUP BY 1
+            ), ents AS (
+              SELECT 'E' || p_partkey AS entity_id,
+                     'part' || p_partkey AS key FROM part
+              UNION ALL
+              SELECT 'A' || p_partkey, 'part' || p_partkey
+              FROM part WHERE p_partkey % 10 = 0
+            ), cand AS (
+              SELECT s.norm_surface, e.entity_id, s.mtot
+              FROM stats s JOIN ents e ON s.norm_surface = e.key
+            ), sized AS (
+              SELECT *,
+                     count(*) OVER (PARTITION BY norm_surface) AS b,
+                     min(entity_id) OVER (PARTITION BY norm_surface)
+                       AS win
+              FROM cand
+            )
+            SELECT norm_surface, entity_id,
+                   mtot AS votes,
+                   (b * mtot)::BIGINT AS total_votes,
+                   1.0::DOUBLE AS score,
+                   'label' AS method
+            FROM sized
+            WHERE entity_id = win
+              AND b * mtot >= 2
+              AND mtot > b * mtot * 0.5
         """,
         "q24_fold_mentions_synthetic": """
             WITH m AS (
