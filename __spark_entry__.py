@@ -401,6 +401,41 @@ def q60_link_decisions(spark, sf_dir):
         "score", "method")
 
 
+def q61_canonical_components(spark, sf_dir):
+    """Stage-3 canonicalization (W2 + CC) value-checked END TO END:
+    linked mentions (q60's accepted map) -> canonical_map — the
+    surface-entity CC, entity-hub preference, deterministic min-node-id
+    fallback, and the content-hash node ids all reproduced relationally
+    (DuckDB's sha256 == Spark's sha2(...,256), so the oracle computes
+    the same m:<hash> ids). In this fixture entities are 1:1 with
+    surfaces, so components are closed-form: e:<entity> for accepted
+    surfaces, min mention node id for refused/OOV ones — which is
+    exactly what makes the iterative CC's fixpoint checkable in SQL."""
+    from softcite_kb_spark.operators import canonicalize as cz
+
+    t = _synthetic_transcripts(spark, sf_dir)
+    triples = ex.extract_triples(t, blacklist=None)
+    folded = ex.fold_mentions(ex.mentions_from_triples(triples))
+    part = _t(spark, sf_dir, "part")
+    base = part.select(
+        F.concat(F.lit("E"), F.col("p_partkey")).alias("entity_id"),
+        F.concat(F.lit("Part"), F.col("p_partkey")).alias("label"),
+        F.array().cast("array<string>").alias("aliases"))
+    twins = part.filter(F.col("p_partkey") % 10 == 0).select(
+        F.concat(F.lit("A"), F.col("p_partkey")).alias("entity_id"),
+        F.concat(F.lit("part"), F.col("p_partkey")).alias("label"),
+        F.array().cast("array<string>").alias("aliases"))
+    auth = base.unionByName(twins)
+    accepted = lk.vote_links_surface(
+        lk.generate_surface_candidates(lk.surface_stats(folded), auth),
+        min_total=2)
+    linked = folded.join(accepted.select("norm_surface", "entity_id"),
+                         "norm_surface", "left")
+    canon = cz.canonical_map(linked)
+    return canon.select("conv_id", "norm_surface", "entity_id",
+                        "node_id", "canonical_id")
+
+
 def q25_lsh_candidate_pairs(spark, sf_dir):
     """MinHash-LSH banding candidate pairs; the DuckDB oracle reproduces
     the full path (16 affine slots, 4 band hashes, capped bucket self-join)
@@ -1064,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_png_decode": q58_png_decode,
         "q59_search_bm25": q59_search_bm25,
         "q60_link_decisions": q60_link_decisions,
+        "q61_canonical_components": q61_canonical_components,
     }
 
 
@@ -2293,6 +2329,59 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN langs l ON n.canonical_id = l.canonical_id
             LEFT JOIN rels r ON n.canonical_id = r.canonical_id
             LEFT JOIN ctx c ON n.canonical_id = c.canonical_id
+        """,
+        # q61: canonicalization in SQL — q60's accepted map left-joined
+        # onto folded mentions, content-hash node ids via sha256 (same
+        # digest as Spark's sha2), canonical = e:<entity> for accepted
+        # surfaces else the surface's min mention node id (the CC
+        # fixpoint of a 1:1 surface-entity graph, closed-form)
+        "q61_canonical_components": """
+            WITH m AS (
+              SELECT l_orderkey::VARCHAR AS conv_id,
+                     'part' || l_partkey AS norm_surface
+              FROM lineitem
+              UNION ALL
+              SELECT l_orderkey::VARCHAR, 'part' || l_suppkey
+              FROM lineitem
+            ), folded AS (
+              SELECT conv_id, norm_surface, count(*) AS n
+              FROM m GROUP BY 1, 2
+            ), stats AS (
+              SELECT norm_surface, sum(n)::BIGINT AS mtot
+              FROM folded GROUP BY 1
+            ), ents AS (
+              SELECT 'E' || p_partkey AS entity_id,
+                     'part' || p_partkey AS key FROM part
+              UNION ALL
+              SELECT 'A' || p_partkey, 'part' || p_partkey
+              FROM part WHERE p_partkey % 10 = 0
+            ), cand AS (
+              SELECT s.norm_surface, e.entity_id, s.mtot
+              FROM stats s JOIN ents e ON s.norm_surface = e.key
+            ), sized AS (
+              SELECT *,
+                     count(*) OVER (PARTITION BY norm_surface) AS b,
+                     min(entity_id) OVER (PARTITION BY norm_surface)
+                       AS win
+              FROM cand
+            ), accepted AS (
+              SELECT norm_surface, entity_id FROM sized
+              WHERE entity_id = win AND b * mtot >= 2
+                AND mtot > b * mtot * 0.5
+            ), nodes AS (
+              SELECT f.conv_id, f.norm_surface, a.entity_id,
+                     'm:' || substr(sha256(f.conv_id || chr(31)
+                                    || f.norm_surface), 1, 24) AS node_id
+              FROM folded f LEFT JOIN accepted a USING (norm_surface)
+            ), reps AS (
+              SELECT norm_surface, min(node_id) AS srep
+              FROM nodes GROUP BY 1
+            )
+            SELECT n.conv_id, n.norm_surface, n.entity_id, n.node_id,
+                   CASE WHEN n.entity_id IS NOT NULL
+                        THEN 'e:' || n.entity_id
+                        ELSE r.srep END AS canonical_id
+            FROM nodes n JOIN reps r USING (norm_surface)
         """,
         # q60: the disambiguation vote in SQL — mention folding (q24's
         # oracle), surface totals, label-blocked candidates from the
