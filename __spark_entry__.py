@@ -436,6 +436,43 @@ def q61_canonical_components(spark, sf_dir):
                         "node_id", "canonical_id")
 
 
+def q62_fold_statements(spark, sf_dir):
+    """Stage-3 statement folding (A5/A6/A7 + the P2677 positional
+    qualifiers) value-checked: triples keyed to canonical subjects,
+    identical (prop, normalized value) statements merged with count
+    summing, the qualifier list capped at 8 BEFORE the collect and
+    emitted in deterministic order. Qualifier content is compared as a
+    comma-joined string (same order both sides) so the oracle needs no
+    nested-struct serialization."""
+    from softcite_kb_spark.operators import canonicalize as cz
+
+    t = _synthetic_transcripts(spark, sf_dir)
+    triples = ex.extract_triples(t, blacklist=None)
+    folded = ex.fold_mentions(ex.mentions_from_triples(triples))
+    part = _t(spark, sf_dir, "part")
+    base = part.select(
+        F.concat(F.lit("E"), F.col("p_partkey")).alias("entity_id"),
+        F.concat(F.lit("Part"), F.col("p_partkey")).alias("label"),
+        F.array().cast("array<string>").alias("aliases"))
+    twins = part.filter(F.col("p_partkey") % 10 == 0).select(
+        F.concat(F.lit("A"), F.col("p_partkey")).alias("entity_id"),
+        F.concat(F.lit("part"), F.col("p_partkey")).alias("label"),
+        F.array().cast("array<string>").alias("aliases"))
+    auth = base.unionByName(twins)
+    accepted = lk.vote_links_surface(
+        lk.generate_surface_candidates(lk.surface_stats(folded), auth),
+        min_total=2)
+    linked = folded.join(accepted.select("norm_surface", "entity_id"),
+                         "norm_surface", "left")
+    canon = cz.canonical_map(linked)
+    stmts = cz.fold_statements(triples, canon)
+    return stmts.select(
+        "canonical_id", "prop", "value", "datatype", "source",
+        F.col("count").cast("long").alias("count"),
+        F.concat_ws(",", F.transform(
+            "qualifiers", lambda q: q["value"])).alias("quals"))
+
+
 def q25_lsh_candidate_pairs(spark, sf_dir):
     """MinHash-LSH banding candidate pairs; the DuckDB oracle reproduces
     the full path (16 affine slots, 4 band hashes, capped bucket self-join)
@@ -1100,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_search_bm25": q59_search_bm25,
         "q60_link_decisions": q60_link_decisions,
         "q61_canonical_components": q61_canonical_components,
+        "q62_fold_statements": q62_fold_statements,
     }
 
 
@@ -2329,6 +2367,81 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN langs l ON n.canonical_id = l.canonical_id
             LEFT JOIN rels r ON n.canonical_id = r.canonical_id
             LEFT JOIN ctx c ON n.canonical_id = c.canonical_id
+        """,
+        # q62: statement folding in SQL — q61's canonical map keys the
+        # depends_on triples; identical (canonical, prop, value) rows
+        # merge with window count (BEFORE the 8-row qualifier cap) and
+        # qualifiers compare as an order-pinned comma-joined string
+        "q62_fold_statements": """
+            WITH m AS (
+              SELECT l_orderkey::VARCHAR AS conv_id,
+                     'part' || l_partkey AS norm_surface
+              FROM lineitem
+              UNION ALL
+              SELECT l_orderkey::VARCHAR, 'part' || l_suppkey
+              FROM lineitem
+            ), folded AS (
+              SELECT conv_id, norm_surface, count(*) AS n
+              FROM m GROUP BY 1, 2
+            ), stats AS (
+              SELECT norm_surface, sum(n)::BIGINT AS mtot
+              FROM folded GROUP BY 1
+            ), ents AS (
+              SELECT 'E' || p_partkey AS entity_id,
+                     'part' || p_partkey AS key FROM part
+              UNION ALL
+              SELECT 'A' || p_partkey, 'part' || p_partkey
+              FROM part WHERE p_partkey % 10 = 0
+            ), cand AS (
+              SELECT s.norm_surface, e.entity_id, s.mtot
+              FROM stats s JOIN ents e ON s.norm_surface = e.key
+            ), sized AS (
+              SELECT *,
+                     count(*) OVER (PARTITION BY norm_surface) AS b,
+                     min(entity_id) OVER (PARTITION BY norm_surface)
+                       AS win
+              FROM cand
+            ), accepted AS (
+              SELECT norm_surface, entity_id FROM sized
+              WHERE entity_id = win AND b * mtot >= 2
+                AND mtot > b * mtot * 0.5
+            ), nodes AS (
+              SELECT f.conv_id, f.norm_surface, a.entity_id,
+                     'm:' || substr(sha256(f.conv_id || chr(31)
+                                    || f.norm_surface), 1, 24) AS node_id
+              FROM folded f LEFT JOIN accepted a USING (norm_surface)
+            ), reps AS (
+              SELECT norm_surface, min(node_id) AS srep
+              FROM nodes GROUP BY 1
+            ), canonmap AS (
+              SELECT n.conv_id, n.norm_surface,
+                     CASE WHEN n.entity_id IS NOT NULL
+                          THEN 'e:' || n.entity_id
+                          ELSE r.srep END AS canonical_id
+              FROM nodes n JOIN reps r USING (norm_surface)
+            ), trip AS (
+              SELECT l_orderkey::VARCHAR AS conv_id,
+                     l_linenumber AS turn_idx,
+                     'part' || l_partkey AS norm_surface,
+                     'Part' || l_suppkey AS obj
+              FROM lineitem
+            ), keyed AS (
+              SELECT c.canonical_id, t.obj, t.conv_id, t.turn_idx
+              FROM trip t JOIN canonmap c USING (conv_id, norm_surface)
+            ), grp AS (
+              SELECT *,
+                count(*) OVER (PARTITION BY canonical_id, obj) AS cnt,
+                row_number() OVER (PARTITION BY canonical_id, obj
+                                   ORDER BY conv_id, turn_idx) AS rn
+              FROM keyed
+            )
+            SELECT canonical_id, 'depends_on' AS prop, obj AS value,
+                   'string' AS datatype, 'transcripts' AS source,
+                   cnt::BIGINT AS count,
+                   string_agg(conv_id || ':' || turn_idx, ','
+                              ORDER BY conv_id, turn_idx) AS quals
+            FROM grp WHERE rn <= 8
+            GROUP BY canonical_id, obj, cnt
         """,
         # q61: canonicalization in SQL — q60's accepted map left-joined
         # onto folded mentions, content-hash node ids via sha256 (same
