@@ -473,6 +473,41 @@ def q62_fold_statements(spark, sf_dir):
             "qualifiers", lambda q: q["value"])).alias("quals"))
 
 
+def q63_build_edges(spark, sf_dir):
+    """Stage-3 edge materialization (J9 re-pointing) value-checked:
+    triples' endpoints map through the canonical map (subject inner,
+    object left — every synthetic object is itself a mentioned surface,
+    so the canonical path resolves all of them), then dedup to
+    (src, dst, rel) with count + deterministic dst_surface. Completes
+    the oracle chain: q23 extraction -> q24 folding -> q60 voting ->
+    q61 canonicalization -> q62 statements -> q63 edges."""
+    from softcite_kb_spark.operators import canonicalize as cz
+
+    t = _synthetic_transcripts(spark, sf_dir)
+    triples = ex.extract_triples(t, blacklist=None)
+    folded = ex.fold_mentions(ex.mentions_from_triples(triples))
+    part = _t(spark, sf_dir, "part")
+    base = part.select(
+        F.concat(F.lit("E"), F.col("p_partkey")).alias("entity_id"),
+        F.concat(F.lit("Part"), F.col("p_partkey")).alias("label"),
+        F.array().cast("array<string>").alias("aliases"))
+    twins = part.filter(F.col("p_partkey") % 10 == 0).select(
+        F.concat(F.lit("A"), F.col("p_partkey")).alias("entity_id"),
+        F.concat(F.lit("part"), F.col("p_partkey")).alias("label"),
+        F.array().cast("array<string>").alias("aliases"))
+    auth = base.unionByName(twins)
+    accepted = lk.vote_links_surface(
+        lk.generate_surface_candidates(lk.surface_stats(folded), auth),
+        min_total=2)
+    linked = folded.join(accepted.select("norm_surface", "entity_id"),
+                         "norm_surface", "left")
+    canon = cz.canonical_map(linked)
+    edges = cz.build_edges(triples, canon)
+    return edges.select(
+        "src_id", "dst_id", "rel",
+        F.col("count").cast("long").alias("count"), "dst_surface")
+
+
 def q25_lsh_candidate_pairs(spark, sf_dir):
     """MinHash-LSH banding candidate pairs; the DuckDB oracle reproduces
     the full path (16 affine slots, 4 band hashes, capped bucket self-join)
@@ -1138,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_link_decisions": q60_link_decisions,
         "q61_canonical_components": q61_canonical_components,
         "q62_fold_statements": q62_fold_statements,
+        "q63_build_edges": q63_build_edges,
     }
 
 
@@ -2367,6 +2403,74 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN langs l ON n.canonical_id = l.canonical_id
             LEFT JOIN rels r ON n.canonical_id = r.canonical_id
             LEFT JOIN ctx c ON n.canonical_id = c.canonical_id
+        """,
+        # q63: edge materialization in SQL — both triple endpoints map
+        # through q61's canonical map (objects are mentioned surfaces in
+        # this fixture, so the canonical path resolves every dst), then
+        # (src, dst, rel) dedup with count + min dst surface
+        "q63_build_edges": """
+            WITH m AS (
+              SELECT l_orderkey::VARCHAR AS conv_id,
+                     'part' || l_partkey AS norm_surface
+              FROM lineitem
+              UNION ALL
+              SELECT l_orderkey::VARCHAR, 'part' || l_suppkey
+              FROM lineitem
+            ), folded AS (
+              SELECT conv_id, norm_surface, count(*) AS n
+              FROM m GROUP BY 1, 2
+            ), stats AS (
+              SELECT norm_surface, sum(n)::BIGINT AS mtot
+              FROM folded GROUP BY 1
+            ), ents AS (
+              SELECT 'E' || p_partkey AS entity_id,
+                     'part' || p_partkey AS key FROM part
+              UNION ALL
+              SELECT 'A' || p_partkey, 'part' || p_partkey
+              FROM part WHERE p_partkey % 10 = 0
+            ), cand AS (
+              SELECT s.norm_surface, e.entity_id, s.mtot
+              FROM stats s JOIN ents e ON s.norm_surface = e.key
+            ), sized AS (
+              SELECT *,
+                     count(*) OVER (PARTITION BY norm_surface) AS b,
+                     min(entity_id) OVER (PARTITION BY norm_surface)
+                       AS win
+              FROM cand
+            ), accepted AS (
+              SELECT norm_surface, entity_id FROM sized
+              WHERE entity_id = win AND b * mtot >= 2
+                AND mtot > b * mtot * 0.5
+            ), nodes AS (
+              SELECT f.conv_id, f.norm_surface, a.entity_id,
+                     'm:' || substr(sha256(f.conv_id || chr(31)
+                                    || f.norm_surface), 1, 24) AS node_id
+              FROM folded f LEFT JOIN accepted a USING (norm_surface)
+            ), reps AS (
+              SELECT norm_surface, min(node_id) AS srep
+              FROM nodes GROUP BY 1
+            ), canonmap AS (
+              SELECT n.conv_id, n.norm_surface,
+                     CASE WHEN n.entity_id IS NOT NULL
+                          THEN 'e:' || n.entity_id
+                          ELSE r.srep END AS canonical_id
+              FROM nodes n JOIN reps r USING (norm_surface)
+            ), trip AS (
+              SELECT l_orderkey::VARCHAR AS conv_id,
+                     'part' || l_partkey AS subj_key,
+                     'part' || l_suppkey AS obj_key,
+                     'Part' || l_suppkey AS obj
+              FROM lineitem
+            )
+            SELECT s.canonical_id AS src_id, d.canonical_id AS dst_id,
+                   'depends_on' AS rel, count(*)::BIGINT AS count,
+                   min(t.obj) AS dst_surface
+            FROM trip t
+            JOIN canonmap s ON s.conv_id = t.conv_id
+                           AND s.norm_surface = t.subj_key
+            JOIN canonmap d ON d.conv_id = t.conv_id
+                           AND d.norm_surface = t.obj_key
+            GROUP BY 1, 2
         """,
         # q62: statement folding in SQL — q61's canonical map keys the
         # depends_on triples; identical (canonical, prop, value) rows
