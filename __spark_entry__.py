@@ -508,6 +508,49 @@ def q63_build_edges(spark, sf_dir):
         F.col("count").cast("long").alias("count"), "dst_surface")
 
 
+def q64_build_nodes(spark, sf_dir):
+    """Stage-3 node materialization (A10 best-value label selection)
+    value-checked with a NON-trivial raw-form vote: every third line
+    mentions its subject in ALL CAPS ('PART<k>'), so each surface
+    carries two raw spellings and the label must be the spelling most
+    CONVERSATIONS used (count-desc window, asc tiebreak) — the fix that
+    stops a fringe ALL-CAPS mention from stealing the label. Aliases
+    (every observed raw form) compare as a sorted comma-joined string."""
+    from softcite_kb_spark.operators import canonicalize as cz
+
+    li = _t(spark, sf_dir, "lineitem").repartition(
+        spark.sparkContext.defaultParallelism)
+    t = li.select(
+        F.col("l_orderkey").cast("string").alias("conv_id"),
+        F.col("l_linenumber").alias("turn_idx"),
+        F.concat(
+            F.when(F.col("l_linenumber") % 3 == 0, F.lit("PART"))
+            .otherwise(F.lit("Part")),
+            F.col("l_partkey"), F.lit(" depends on Part"),
+            F.col("l_suppkey"), F.lit(".")).alias("text"))
+    triples = ex.extract_triples(t, blacklist=None)
+    folded = ex.fold_mentions(ex.mentions_from_triples(triples))
+    part = _t(spark, sf_dir, "part")
+    base = part.select(
+        F.concat(F.lit("E"), F.col("p_partkey")).alias("entity_id"),
+        F.concat(F.lit("Part"), F.col("p_partkey")).alias("label"),
+        F.array().cast("array<string>").alias("aliases"))
+    auth = base
+    accepted = lk.vote_links_surface(
+        lk.generate_surface_candidates(lk.surface_stats(folded), auth),
+        min_total=2)
+    linked = folded.join(accepted.select("norm_surface", "entity_id"),
+                         "norm_surface", "left")
+    canon = cz.canonical_map(linked)
+    nodes = cz.build_nodes(canon)
+    return nodes.select(
+        "canonical_id", "label",
+        F.concat_ws(",", "aliases").alias("aliases"),
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+        "entity_id",
+        F.col("n_surfaces").cast("long").alias("n_surfaces"))
+
+
 def q25_lsh_candidate_pairs(spark, sf_dir):
     """MinHash-LSH banding candidate pairs; the DuckDB oracle reproduces
     the full path (16 affine slots, 4 band hashes, capped bucket self-join)
@@ -1174,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_canonical_components": q61_canonical_components,
         "q62_fold_statements": q62_fold_statements,
         "q63_build_edges": q63_build_edges,
+        "q64_build_nodes": q64_build_nodes,
     }
 
 
@@ -2403,6 +2447,94 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN langs l ON n.canonical_id = l.canonical_id
             LEFT JOIN rels r ON n.canonical_id = r.canonical_id
             LEFT JOIN ctx c ON n.canonical_id = c.canonical_id
+        """,
+        # q64: node materialization in SQL — the label is the raw form
+        # most CONVERSATIONS used (rc desc, raw asc), aliases the sorted
+        # distinct raw set, per-component mention totals summed; the
+        # all-caps variant on every third line makes the selection
+        # non-trivial
+        "q64_build_nodes": """
+            WITH mrow AS (
+              SELECT l_orderkey::VARCHAR AS conv_id,
+                     'part' || l_partkey AS norm_surface,
+                     CASE WHEN l_linenumber % 3 = 0
+                          THEN 'PART' || l_partkey
+                          ELSE 'Part' || l_partkey END AS raw
+              FROM lineitem
+              UNION ALL
+              SELECT l_orderkey::VARCHAR, 'part' || l_suppkey,
+                     'Part' || l_suppkey
+              FROM lineitem
+            ), folded AS (
+              SELECT conv_id, norm_surface, count(*) AS n
+              FROM mrow GROUP BY 1, 2
+            ), stats AS (
+              SELECT norm_surface, sum(n)::BIGINT AS mtot
+              FROM folded GROUP BY 1
+            ), ents AS (
+              SELECT 'E' || p_partkey AS entity_id,
+                     'part' || p_partkey AS key FROM part
+            ), accepted AS (
+              SELECT s.norm_surface, e.entity_id
+              FROM stats s JOIN ents e ON s.norm_surface = e.key
+              WHERE s.mtot >= 2
+            ), nodes AS (
+              SELECT f.conv_id, f.norm_surface, a.entity_id,
+                     'm:' || substr(sha256(f.conv_id || chr(31)
+                                    || f.norm_surface), 1, 24) AS node_id
+              FROM folded f LEFT JOIN accepted a USING (norm_surface)
+            ), reps AS (
+              SELECT norm_surface, min(node_id) AS srep
+              FROM nodes GROUP BY 1
+            ), canonmap AS (
+              SELECT n.conv_id, n.norm_surface,
+                     CASE WHEN n.entity_id IS NOT NULL
+                          THEN 'e:' || n.entity_id
+                          ELSE r.srep END AS canonical_id
+              FROM nodes n JOIN reps r USING (norm_surface)
+            ), ps AS (
+              SELECT c.canonical_id, c.norm_surface,
+                     sum(f.n)::BIGINT AS cnt
+              FROM folded f JOIN canonmap c USING (conv_id, norm_surface)
+              GROUP BY 1, 2
+            ), raws AS (
+              SELECT DISTINCT conv_id, norm_surface, raw FROM mrow
+            ), rf AS (
+              SELECT c.canonical_id, r.norm_surface, r.raw,
+                     count(*) AS rc
+              FROM raws r JOIN canonmap c USING (conv_id, norm_surface)
+              GROUP BY 1, 2, 3
+            ), br AS (
+              SELECT canonical_id, norm_surface, raw FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY canonical_id, norm_surface
+                  ORDER BY rc DESC, raw ASC) AS rr FROM rf)
+              WHERE rr = 1
+            ), tops AS (
+              SELECT canonical_id, norm_surface FROM (
+                SELECT ps.*, row_number() OVER (
+                  PARTITION BY canonical_id
+                  ORDER BY cnt DESC, norm_surface ASC) AS rn FROM ps)
+              WHERE rn = 1
+            ), al AS (
+              SELECT canonical_id,
+                     string_agg(raw, ',' ORDER BY raw) AS aliases
+              FROM (SELECT DISTINCT canonical_id, raw FROM rf)
+              GROUP BY 1
+            ), nm AS (
+              SELECT canonical_id, sum(cnt)::BIGINT AS n_mentions,
+                     count(*)::BIGINT AS n_surfaces
+              FROM ps GROUP BY 1
+            )
+            SELECT t.canonical_id, b.raw AS label, al.aliases,
+                   nm.n_mentions,
+                   CASE WHEN t.canonical_id LIKE 'e:%'
+                        THEN substr(t.canonical_id, 3) END AS entity_id,
+                   nm.n_surfaces
+            FROM tops t
+            JOIN br b USING (canonical_id, norm_surface)
+            JOIN al USING (canonical_id)
+            JOIN nm USING (canonical_id)
         """,
         # q63: edge materialization in SQL — both triple endpoints map
         # through q61's canonical map (objects are mentioned surfaces in
