@@ -113,6 +113,18 @@ def delete_by_keys_sql(target: str, keys_view: str, key_cols: list[str],
     )
 
 
+def rewrite_data_files_sql(catalog: str, namespace: str,
+                           table: str) -> str:
+    """The maintenance call ``IcebergTableStore.compact`` executes —
+    Iceberg's own ``rewrite_data_files`` procedure (bin-packing small
+    files, the real version of ``TableStore.compact``'s hand-rolled
+    rewrite). The table identifier is passed as a quoted STRING
+    argument per the procedure's signature."""
+    ident = ".".join(_quote(p) for p in (namespace, table))
+    return (f"CALL {_quote(catalog)}.system.rewrite_data_files("
+            f"table => '{ident.replace(chr(39), chr(39) * 2)}')")
+
+
 def snapshot_metadata_sql(ident: str) -> str:
     """The catalog-metadata query ``current_snapshot`` runs: the
     latest ``made_current_at`` row of ``<table>.history`` restricted to
@@ -249,6 +261,17 @@ IcebergSparkSessionExtensions
         if not self.exists(table):
             return self.write(df, table, properties)
         df.writeTo(self._ident(table)).append()
+
+    def compact(self, spark: SparkSession, table: str):
+        """Maintenance commit (``TableStore.compact`` counterpart):
+        delegates to the catalog's ``rewrite_data_files`` procedure —
+        bin-packs the fast-append file debris into right-sized files as
+        its own snapshot. Returns the post-compaction snapshot so
+        ``KGPipeline.compact_table`` can refresh its manifest pins the
+        same way it does over the parquet stand-in."""
+        self.spark.sql(rewrite_data_files_sql(
+            self.catalog, self.namespace, table))
+        return self.current_snapshot(table)
 
     def merge(self, df: DataFrame, table: str, key_cols: list[str],
               properties: dict[str, Any] | None = None,

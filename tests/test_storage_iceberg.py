@@ -141,3 +141,14 @@ def test_manifest_root_property(spark):
     rooted = IcebergTableStore(spark, catalog="faketest2",
                                manifest_root="/mnt/kb")
     assert rooted.root == "/mnt/kb"
+
+
+def test_rewrite_data_files_sql_shape():
+    from softcite_kb_spark.storage_iceberg import rewrite_data_files_sql
+
+    sql = rewrite_data_files_sql("prod", "kb", "triples")
+    assert sql == ("CALL `prod`.system.rewrite_data_files("
+                   "table => '`kb`.`triples`')")
+    # embedded quotes in a table name are escaped, not injected
+    sql2 = rewrite_data_files_sql("c", "n", "we'ird")
+    assert "'`n`.`we''ird`'" in sql2
