@@ -88,9 +88,30 @@ def main() -> None:
         if name == "q23_extract_triples_synthetic":
             # row count OUTSIDE the timed reps (count() prunes projections,
             # so it measures a different plan than the timed noop sink)
-            n = qs[name](spark, sf_dir).count()
+            pred = qs[name](spark, sf_dir)
+            n = pred.count()
             extras["triples_per_sec"] = round(n / best, 1)
             extras["n_triples"] = n
+            # the north rule's OTHER metric: triple P/R vs the exact
+            # relational ground truth (one depends_on triple per line),
+            # via two-way exceptAll — an order-insensitive diff that
+            # cannot false-pass on offsetting errors
+            from pyspark.sql import functions as FF
+            truth = (
+                spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+                .select(
+                    FF.col("l_orderkey").cast("string").alias("conv_id"),
+                    FF.col("l_linenumber").alias("turn_idx"),
+                    FF.concat(FF.lit("Part"), FF.col("l_partkey")).alias("subj"),
+                    FF.lit("depends_on").alias("pred"),
+                    FF.concat(FF.lit("Part"), FF.col("l_suppkey")).alias("obj"))
+            )
+            p = pred.select(*truth.columns)
+            fp = p.exceptAll(truth).count()
+            fn = truth.exceptAll(p).count()
+            tp = n - fp
+            extras["triple_precision"] = round(tp / max(n, 1), 6)
+            extras["triple_recall"] = round(tp / max(tp + fn, 1), 6)
 
     # full 3-stage KG pipeline on a generated transcript corpus
     work = "/tmp/bench_kb"
