@@ -1110,6 +1110,22 @@ def q53_hash_split(spark, sf_dir):
     return hash_split(d, {"train": 0.9, "val": 0.05, "test": 0.05})
 
 
+def q65_stratified_sample(spark, sf_dir):
+    """Deterministic stratified subsampling (operators/sampling.
+    stratified_hash_sample): the training-mix operator — per-stratum
+    keep fractions applied as a pure threshold test on the md5-derived
+    unit draw, so the plan is a filter over the scan (no shuffle, no
+    window, no per-stratum funnel) and every kept row is recomputable
+    by the oracle. Unmapped strata (signup/error) drop."""
+    from softcite_kb_spark.operators.sampling import stratified_hash_sample
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id")
+    return stratified_hash_sample(
+        ev, "event_type",
+        {"click": 0.5, "view": 0.2, "purchase": 1.0},
+        key_col="event_id")
+
+
 def q54_token_packing(spark, sf_dir):
     """Fixed-token-budget sequence packing (operators/sampling.
     pack_token_budget): shard by key hash, offset-pack in key order
@@ -1218,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_fold_statements": q62_fold_statements,
         "q63_build_edges": q63_build_edges,
         "q64_build_nodes": q64_build_nodes,
+        "q65_stratified_sample": q65_stratified_sample,
     }
 
 
@@ -1707,6 +1724,21 @@ def oracle_sql() -> dict[str, str]:
         "q52_corpus_prep": _corpus_prep_oracle_sql(),
         # q53: the md5-derived unit interval recomputed per key; CASE
         # thresholds in the same dict order as the Spark side
+        # q65: per-stratum threshold over the same md5 unit draw as q53
+        "q65_stratified_sample": """
+            SELECT event_id, event_type, user_id
+            FROM (
+              SELECT event_id, event_type, user_id,
+                     ('0x' || substring(md5('7:' || event_id), 1, 8))::BIGINT
+                       / 4294967296.0 AS u
+              FROM events
+            )
+            WHERE u < CASE event_type
+                        WHEN 'click' THEN 0.5
+                        WHEN 'view' THEN 0.2
+                        WHEN 'purchase' THEN 1.0
+                        ELSE 0.0 END
+        """,
         "q53_hash_split": """
             SELECT doc_id,
                    CASE WHEN u < 0.9 THEN 'train'

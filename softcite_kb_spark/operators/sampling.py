@@ -107,3 +107,54 @@ def pack_token_budget(
         .drop("__prefix")
     )
     return out
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic per-stratum subsampling — the training-mix
+    operator (downweight boilerplate-heavy strata, upweight rare ones)
+    done as a PURE FUNCTION of the row key.
+
+    A row survives iff ``uniform_unit(key) < fraction[stratum]``:
+
+      * NO shuffle, no window, no sort — a filter over the scan, so the
+        plan is embarrassingly parallel and a hot stratum cannot funnel
+        anything anywhere (the reason this is a threshold test per row,
+        not an exact-k ``row_number`` per stratum);
+      * stable across runs, cluster sizes and re-partitionings, unlike
+        ``df.sampleBy`` (whose draw depends on partition layout);
+      * NESTED by construction: because the unit draw depends only on
+        (seed, key), the 10% sample is a strict subset of the 20%
+        sample at the same seed — grow a mix without resampling what
+        was already taken;
+      * strata absent from ``fractions`` take ``default_fraction``
+        (0 = drop, 1 = keep-all);
+      * engine-reproducible: md5 arithmetic matches any SQL engine, so
+        a DuckDB oracle value-checks every kept row.
+
+    Weighted dataset MIXING is this operator applied to a union: tag
+    each source with a stratum label, union, and pass the mix weights
+    as fractions.
+    """
+    if not fractions and default_fraction == 0.0:
+        raise ValueError("all fractions are zero — nothing to sample")
+    for k, v in fractions.items():
+        if not (0.0 <= v <= 1.0):
+            raise ValueError(f"fraction for stratum {k!r} must be in "
+                             f"[0, 1], got {v}")
+    if fractions:
+        frac_map = F.create_map(
+            *[x for kv in sorted(fractions.items())
+              for x in (F.lit(kv[0]), F.lit(float(kv[1])))])
+        frac = F.coalesce(frac_map[F.col(strata_col).cast("string")],
+                          F.lit(float(default_fraction)))
+    else:
+        frac = F.lit(float(default_fraction))
+    u = uniform_unit(F.col(key_col), seed=seed)
+    return df.filter(u < frac)

@@ -55,3 +55,43 @@ def test_pack_token_budget_invariants(spark):
     assert (sorted(map(tuple, out)) == sorted(map(tuple, out2)))
     with pytest.raises(ValueError, match="positive"):
         sp.pack_token_budget(d, 0)
+
+
+def test_stratified_hash_sample_deterministic_and_nested(spark):
+    """Per-stratum threshold sampling: deterministic across
+    repartitionings, nested across fractions at the same seed,
+    fraction-accurate, default_fraction honored, bad fractions raise."""
+    import pandas as pd
+
+    from softcite_kb_spark.operators.sampling import stratified_hash_sample
+
+    rows = [(i, ["click", "view", "rare"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "kind"]))
+    fr = {"click": 0.5, "view": 0.1}
+    got = stratified_hash_sample(df, "kind", fr, key_col="doc_id")
+    ids1 = sorted(r.doc_id for r in got.collect())
+    ids2 = sorted(r.doc_id for r in stratified_hash_sample(
+        df.repartition(17), "kind", fr, key_col="doc_id").collect())
+    assert ids1 == ids2 and len(ids1) > 0
+    # unmapped stratum dropped by default; kept with default_fraction=1
+    kinds = {r.kind for r in got.collect()}
+    assert kinds == {"click", "view"}
+    all_rare = stratified_hash_sample(
+        df, "kind", fr, key_col="doc_id", default_fraction=1.0)
+    assert all_rare.filter("kind = 'rare'").count() == 1000
+    # fraction accuracy (threshold over a uniform hash)
+    n_click = got.filter("kind = 'click'").count()
+    n_view = got.filter("kind = 'view'").count()
+    assert abs(n_click / 1000 - 0.5) < 0.06
+    assert abs(n_view / 1000 - 0.1) < 0.04
+    # NESTED: the 10% view-sample is a subset of a 30% one (same seed)
+    bigger = {r.doc_id for r in stratified_hash_sample(
+        df, "kind", {"view": 0.3}, key_col="doc_id").collect()}
+    smaller = {r.doc_id for r in stratified_hash_sample(
+        df, "kind", {"view": 0.1}, key_col="doc_id").collect()}
+    assert smaller <= bigger
+    import pytest as _pt
+    with _pt.raises(ValueError, match="fraction"):
+        stratified_hash_sample(df, "kind", {"click": 1.5})
+    with _pt.raises(ValueError, match="nothing to sample"):
+        stratified_hash_sample(df, "kind", {})
