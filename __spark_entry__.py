@@ -1126,6 +1126,21 @@ def q65_stratified_sample(spark, sf_dir):
         key_col="event_id")
 
 
+def q66_split_contamination(spark, sf_dir):
+    """Train/eval n-gram contamination (dedup.cross_split_contamination
+    — the standard decontamination rule): documents take q53's
+    deterministic split, then every val/test doc reports how many of
+    its distinct 3-gram shingles also occur anywhere in train. Gram
+    hashing (32-bit md5 prefix) is shared with the oracle, so hash
+    semantics — collisions included — match bit-for-bit."""
+    from softcite_kb_spark.operators.dedup import cross_split_contamination
+    from softcite_kb_spark.operators.sampling import hash_split
+    d = hash_split(_t(spark, sf_dir, "documents").select("doc_id", "text"),
+                   {"train": 0.9, "val": 0.05, "test": 0.05})
+    return cross_split_contamination(d).select(
+        "doc_id", "split", "n_shingles", "n_overlapping", "overlap_ratio")
+
+
 def q54_token_packing(spark, sf_dir):
     """Fixed-token-budget sequence packing (operators/sampling.
     pack_token_budget): shard by key hash, offset-pack in key order
@@ -1235,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_build_edges": q63_build_edges,
         "q64_build_nodes": q64_build_nodes,
         "q65_stratified_sample": q65_stratified_sample,
+        "q66_split_contamination": q66_split_contamination,
     }
 
 
@@ -1724,6 +1740,58 @@ def oracle_sql() -> dict[str, str]:
         "q52_corpus_prep": _corpus_prep_oracle_sql(),
         # q53: the md5-derived unit interval recomputed per key; CASE
         # thresholds in the same dict order as the Spark side
+        # q66: q53's split + distinct 3-gram shingles hashed to 32-bit
+        # md5 prefixes; eval grams join train's distinct gram set
+        "q66_split_contamination": """
+            WITH sp AS (
+              SELECT doc_id, text,
+                     CASE WHEN u < 0.9 THEN 'train'
+                          WHEN u < 0.95 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (
+                SELECT doc_id, text,
+                       ('0x' || substring(md5('7:' || doc_id), 1, 8))::BIGINT
+                         / 4294967296.0 AS u
+                FROM documents)
+            ), toks AS (
+              SELECT doc_id, split,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 t -> t <> '') AS tk
+              FROM sp
+            ), gr AS (
+              SELECT doc_id, split,
+                     unnest(list_distinct(
+                       [array_to_string(tk[i:i+2], ' ')
+                        for i in range(1, greatest(len(tk) - 2, 0) + 1)]))
+                       AS g
+              FROM toks
+            ), gh AS (
+              SELECT doc_id, split,
+                     ('0x' || substring(md5(g), 1, 8))::BIGINT AS h
+              FROM gr
+            ), train_g AS (
+              SELECT DISTINCT h FROM gh WHERE split = 'train'
+            ), ev AS (
+              SELECT * FROM gh WHERE split <> 'train'
+            ), tot AS (
+              SELECT doc_id, split, count(*)::BIGINT AS n_shingles
+              FROM ev GROUP BY 1, 2
+            ), hit AS (
+              SELECT e.doc_id, e.split, count(*)::BIGINT AS n_overlapping
+              FROM ev e JOIN train_g t ON e.h = t.h GROUP BY 1, 2
+            )
+            SELECT b.doc_id, b.split,
+                   coalesce(tot.n_shingles, 0)::BIGINT AS n_shingles,
+                   coalesce(hit.n_overlapping, 0)::BIGINT AS n_overlapping,
+                   CASE WHEN coalesce(tot.n_shingles, 0) > 0
+                        THEN round(coalesce(hit.n_overlapping, 0)
+                                   / tot.n_shingles, 6)
+                        ELSE 0.0 END AS overlap_ratio
+            FROM (SELECT DISTINCT doc_id, split FROM sp
+                  WHERE split <> 'train') b
+            LEFT JOIN tot USING (doc_id, split)
+            LEFT JOIN hit USING (doc_id, split)
+        """,
         # q65: per-stratum threshold over the same md5 unit draw as q53
         "q65_stratified_sample": """
             SELECT event_id, event_type, user_id

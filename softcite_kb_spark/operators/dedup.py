@@ -492,3 +492,61 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def cross_split_contamination(
+    df: DataFrame,
+    split_col: str = "split",
+    train_split: str = "train",
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval CONTAMINATION check — the standard n-gram-overlap
+    decontamination rule for pretraining corpora: an eval document is
+    contaminated to the degree its word n-grams also occur anywhere in
+    the training split.
+
+    Output: one row per NON-train document —
+    (id, split, n_shingles, n_overlapping, overlap_ratio). Documents
+    too short to carry a single n-gram report 0/0/0.0 (not contaminated
+    by convention — nothing to leak).
+
+    Plan shape at 100 TB: shingles hash to 32-bit md5 prefixes before
+    the join (int equi-join, never strings); the train side reduces to
+    DISTINCT grams (map-side partial dedup); the eval side left-semi
+    +groupBy counts overlaps. One shuffle on the gram hash each side —
+    inherent to the semantics (the gram is the join key) — and no
+    collect, no per-row Python.
+    """
+    grams = (
+        df.select(F.col(id_col), F.col(split_col),
+                  F.explode(F.array_distinct(
+                      shingles(F.col(text_col), n))).alias("g"))
+        .withColumn("gh", F.conv(F.substring(F.md5("g"), 1, 8), 16, 10)
+                    .cast("long"))
+    )
+    train_g = (grams.filter(F.col(split_col) == train_split)
+               .select("gh").distinct())
+    ev = grams.filter(F.col(split_col) != train_split)
+    totals = ev.groupBy(id_col, split_col).agg(
+        F.count("*").cast("long").alias("n_shingles"))
+    hits = (ev.join(train_g, "gh", "left_semi")
+            .groupBy(id_col, split_col)
+            .agg(F.count("*").cast("long").alias("n_overlapping")))
+    base = (df.filter(F.col(split_col) != train_split)
+            .select(id_col, split_col).distinct())
+    return (
+        base.join(totals, [id_col, split_col], "left")
+        .join(hits, [id_col, split_col], "left")
+        .withColumn("n_shingles",
+                    F.coalesce("n_shingles", F.lit(0).cast("long")))
+        .withColumn("n_overlapping",
+                    F.coalesce("n_overlapping", F.lit(0).cast("long")))
+        .withColumn(
+            "overlap_ratio",
+            F.when(F.col("n_shingles") > 0,
+                   F.round(F.col("n_overlapping")
+                           / F.col("n_shingles"), 6))
+            .otherwise(F.lit(0.0)))
+    )

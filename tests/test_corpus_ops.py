@@ -714,3 +714,27 @@ def test_png_fixture_nbytes_closed_form(spark):
         assert (r.width, r.height) == (w, h)
         assert r.n_bytes == 68 + h * (1 + 3 * w)
         assert r.checksum == (3 * w * h * v) % (2**31)
+
+
+def test_cross_split_contamination(spark):
+    """Planted leakage: an eval doc sharing a full 3-gram window with a
+    train doc reports the exact overlap ratio; clean eval docs report
+    0; too-short docs report 0/0 without killing the stage."""
+    rows = [
+        (1, "train", "the quick brown fox jumps over the lazy dog"),
+        (2, "val",   "the quick brown fox sat still"),   # leaks 2 grams
+        (3, "val",   "completely novel evaluation content here today"),
+        (4, "test",  "the quick brown fox jumps over the lazy dog"),  # full leak
+        (5, "test",  "too short"),                        # 0 shingles
+    ]
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["doc_id", "split", "text"]))
+    got = {r.doc_id: (r.n_shingles, r.n_overlapping, r.overlap_ratio)
+           for r in dedup.cross_split_contamination(df).collect()}
+    assert set(got) == {2, 3, 4, 5}
+    # doc 2: grams of 6 tokens = 4; 'the quick brown','quick brown fox' leak
+    assert got[2] == (4, 2, 0.5)
+    assert got[3][1] == 0 and got[3][2] == 0.0
+    # doc 4 is an exact copy: every gram leaks
+    assert got[4][0] == 7 and got[4] == (7, 7, 1.0)
+    assert got[5] == (0, 0, 0.0)
