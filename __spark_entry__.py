@@ -1382,12 +1382,10 @@ def _simhash_oracle_sql() -> str:
                  (simhash >> (cc.c * 16)) & 65535 AS chunk_val
           FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS c) cc
         ), chunks AS (
-          -- max_bucket=1000 skew cap (no-op at this scale; mirrors
-          -- dedup.cap_buckets semantics exactly)
-          SELECT doc_id, simhash, chunk_idx, chunk_val FROM (
-            SELECT *, count(*) OVER (PARTITION BY chunk_idx, chunk_val)
-                   AS bucket_n
-            FROM chunks0) WHERE bucket_n <= 1000
+          -- uncapped: simhash_near_pairs defaults max_bucket=0 (no
+          -- silent caps); the cap path is pytest-covered with explicit
+          -- opt-in (test_corpus_ops planted-boilerplate tests)
+          SELECT doc_id, simhash, chunk_idx, chunk_val FROM chunks0
         ), cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                  a.simhash AS sh_a, b.simhash AS sh_b
@@ -1616,15 +1614,13 @@ def _near_dup_multitable_oracle_sql(n_tables: int = 2) -> str:
              "a.embedding::DOUBLE[])) * "
              "sqrt(list_dot_product(b.embedding::DOUBLE[], "
              "b.embedding::DOUBLE[])), 1e-12), 6)")
-    # max_bucket=2000 skew cap per (table, bucket) — no-op at this
-    # scale; mirrors dedup.cap_buckets semantics exactly
+    # uncapped: embedding_near_dup_pairs defaults max_bucket=0 (no
+    # silent caps); the capped path is pytest-covered with explicit
+    # opt-in (test_corpus_ops planted-boilerplate tests)
     tables = ",\n".join(
-        f"b{t}0 AS (SELECT vec_id, embedding, "
+        f"b{t} AS (SELECT vec_id, embedding, "
         f"{_hyperplane_bucket_sql(seed=13 + 101 * t)} AS bucket "
-        f"FROM embeddings),\n"
-        f"b{t} AS (SELECT vec_id, embedding, bucket FROM ("
-        f"SELECT *, count(*) OVER (PARTITION BY bucket) AS bucket_n "
-        f"FROM b{t}0) WHERE bucket_n <= 2000)"
+        f"FROM embeddings)"
         for t in range(n_tables))
     cands = "\nUNION\n".join(
         f"SELECT l.vec_id AS id_a, r.vec_id AS id_b FROM b{t} l "
@@ -1645,14 +1641,11 @@ def _near_dup_lsh_oracle_sql() -> str:
     """q46: bucket self-join near-dup pairs from the same plane constants."""
     bucket = _hyperplane_bucket_sql()
     return f"""
-        WITH b0 AS (
+        WITH b AS (
+          -- uncapped: embedding_near_dup_pairs defaults max_bucket=0
+          -- (no silent caps); capped path pytest-covered with explicit
+          -- opt-in
           SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
-        ), b AS (
-          -- max_bucket=2000 skew cap (no-op at this scale; mirrors
-          -- dedup.cap_buckets semantics exactly)
-          SELECT vec_id, embedding, bucket FROM (
-            SELECT *, count(*) OVER (PARTITION BY bucket) AS bucket_n
-            FROM b0) WHERE bucket_n <= 2000
         )
         SELECT l.vec_id AS id_a, r.vec_id AS id_b,
                round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])

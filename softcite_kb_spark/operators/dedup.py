@@ -453,7 +453,7 @@ def add_simhash(df: DataFrame, id_col: str = "doc_id",
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", max_hamming: int = 3,
-                       max_bucket: int = 1000,
+                       max_bucket: int = 0,
                        materializer: Materializer | None = None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
@@ -465,7 +465,10 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     near-identical boilerplate that survives exact dedup lands whole
     signature chunks in one (chunk_idx, chunk_val) bucket and the
     self-join goes quadratic — oversized buckets are dropped (their
-    members are exact-dedup's job). 0 disables.
+    members are exact-dedup's job). Default 0 = DISABLED: a silent
+    default cap would drop true near-dup pairs in a chunk-heavy corpus
+    with no signal (the repo's no-silent-caps rule) — large-corpus
+    callers opt in explicitly, sized to their dedup'd bucket profile.
     """
     sh = (materializer or _default_materializer)(
         add_simhash(df.select(id_col, text_col), id_col, text_col)

@@ -405,7 +405,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     n_tables: int = 1,
     seed: int = 13,
-    max_bucket: int = 2000,
+    max_bucket: int = 0,
     materializer=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via bucket self-join.
@@ -424,7 +424,10 @@ def embedding_near_dup_pairs(
     groupBy-count + anti-join — never a window): a corpus of
     near-identical embeddings that survives exact dedup lands in one
     hyperplane bucket and the self-join goes quadratic; oversized
-    buckets are dropped. 0 disables.
+    buckets are dropped. Default 0 = DISABLED — a silent default cap
+    would drop true near-dup pairs in a bucket-heavy corpus with no
+    signal (the repo's no-silent-caps rule); opt in explicitly at
+    scale.
     """
     from softcite_kb_spark.operators.dedup import cap_buckets
 

@@ -339,7 +339,22 @@ class KGPipeline:
             # merge); fail here with the actual fix instead
             tprops = (self.store.current_snapshot("transcripts")
                       .properties or {})
-            if (tprops.get("partition_by") or []) != ["bucket"]:
+            # The layout check is two-tier because not every store's
+            # snapshot metadata RECORDS partition layout: TableStore
+            # writes a "partition_by" property, but IcebergTableStore
+            # snapshots carry only {operation, **summary} — the layout
+            # lives in the table's partition SPEC, which the engine
+            # applies on its own. When the property is present it must
+            # name the bucket layout; when absent, fall back to the
+            # structural requirement every downstream read shares: the
+            # table must carry the ``bucket`` column (its absence is
+            # what produced the opaque AnalysisException mid-ingest).
+            if "partition_by" in tprops:
+                layout_ok = (tprops.get("partition_by") or []) == ["bucket"]
+            else:
+                layout_ok = "bucket" in self.store.read(
+                    self.spark, "transcripts").columns
+            if not layout_ok:
                 raise RuntimeError(
                     f"partition_buckets={n_buckets} but the existing "
                     f"transcripts table is not bucket-partitioned — "

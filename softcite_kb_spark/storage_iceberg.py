@@ -174,7 +174,9 @@ IcebergSparkSessionExtensions
 
     def __init__(self, spark: SparkSession, catalog: str,
                  namespace: str = "kb",
-                 manifest_root: str | None = None) -> None:
+                 manifest_root: str | None = None,
+                 materializer: Callable[[DataFrame], DataFrame]
+                 | None = None) -> None:
         if spark.conf.get(f"spark.sql.catalog.{catalog}", None) is None:
             raise RuntimeError(
                 f"Spark session has no Iceberg catalog {catalog!r}; "
@@ -187,6 +189,19 @@ IcebergSparkSessionExtensions
         self.catalog = catalog
         self.namespace = namespace
         self._manifest_root = manifest_root
+        # merge()'s group-replacement plan commits a DELETE and then an
+        # append of the batch — a batch whose PLAN reads from the target
+        # table (read-modify-write) would otherwise re-evaluate against
+        # post-delete state and silently lose rows. The barrier pins the
+        # batch's rows BEFORE the delete; injectable like every other
+        # barrier (ScratchTableMaterializer on a production catalog —
+        # localCheckpoint blocks are executor-local).
+        if materializer is None:
+            from softcite_kb_spark.materialize import (
+                local_checkpoint_materializer)
+
+            materializer = local_checkpoint_materializer
+        self._materializer = materializer
 
     @property
     def root(self) -> str:
@@ -286,6 +301,12 @@ IcebergSparkSessionExtensions
             # first merge = plain write (delete_keys have nothing to evict)
             return self.write(df, table, properties)
         ident = self._ident(table)
+        # pin the batch BEFORE any DELETE below runs: a batch plan that
+        # reads from the target table must evaluate against the PRE-delete
+        # snapshot (TableStore.merge gets this for free by reading the old
+        # snapshot's files; here the lazy plan would re-execute after the
+        # delete and silently lose rows)
+        df = self._materializer(df)
         if unique_key:
             from pyspark.sql import functions as F
 

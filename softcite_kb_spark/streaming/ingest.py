@@ -331,6 +331,13 @@ def streaming_sessions(stream: DataFrame, key_col: str = "conv_id",
                     start = end = t
                     n = 1
                 else:
+                    # a late cross-trigger event may precede the restored
+                    # session_start (still within the watermark): the open
+                    # session's start must move BACK to the earliest
+                    # member, or emitted sessions diverge from
+                    # temporal.sessionize batch semantics (sessions only
+                    # close on FORWARD gaps — the branch above)
+                    start = min(start, t)
                     end = max(end, t)
                     n += 1
         state.update((start, end, n))

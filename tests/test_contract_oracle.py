@@ -39,6 +39,20 @@ DRIVER_BLIND = sorted(
     and n in entry.oracle_sql())
 SUBSET = SUBSET + DRIVER_BLIND
 
+# Genuinely non-SQL-expressible queries may ship without an oracle, but
+# ONLY by being named here — the dynamic derivation above silently drops
+# a >q50 query missing its oracle_sql entry, so without this guard a
+# rows-only query could slip in unvalidated (VERDICT r04 #8).
+ROWS_ONLY_ALLOWLIST: set = set()
+
+
+def test_every_query_is_oracle_checked():
+    missing = (set(entry.queries()) - set(entry.oracle_sql())
+               - ROWS_ONLY_ALLOWLIST)
+    assert not missing, (
+        f"queries without an oracle_sql entry (add the oracle or add to "
+        f"ROWS_ONLY_ALLOWLIST with justification): {sorted(missing)}")
+
 
 @pytest.fixture(scope="module")
 def duck():

@@ -612,6 +612,20 @@ def test_embedding_near_dup_bounded_on_planted_boilerplate(spark):
     assert n_uncapped > 100000
 
 
+def test_near_dup_caps_are_opt_in():
+    """ADVICE r04 (low): the bucket caps on the pre-existing public
+    near-dup functions must default to 0 (disabled) — a non-zero
+    default silently drops true near-duplicate pairs in a chunk-heavy
+    corpus with no signal (the repo's no-silent-caps rule). Callers at
+    scale opt in explicitly, as the planted-boilerplate tests do."""
+    import inspect
+
+    assert inspect.signature(dedup.simhash_near_pairs) \
+        .parameters["max_bucket"].default == 0
+    assert inspect.signature(similarity.embedding_near_dup_pairs) \
+        .parameters["max_bucket"].default == 0
+
+
 def test_lsh_candidate_pairs_bounded_on_planted_boilerplate(spark):
     docs = _boilerplate_docs(spark, 1000)
     n = dedup.lsh_candidate_pairs(

@@ -229,6 +229,61 @@ def test_increment_into_unextracted_store_refuses(
         pipe.ingest_increment(batch)
 
 
+def test_bucket_guard_skips_when_layout_metadata_absent(
+        spark, corpus_tables, tmp_path):
+    """ADVICE r04 (medium): the bucket-layout guard reads
+    ``partition_by`` from snapshot properties, but an Iceberg-backed
+    store's snapshots carry only {operation, **summary} — the layout
+    lives in the table's partition SPEC. A store whose metadata does
+    not RECORD layout must not be spuriously rejected; the guard only
+    fires when the key is present and wrong."""
+
+    class _LayoutlessMetaStore:
+        """Delegating store whose snapshot properties omit
+        ``partition_by`` (the Iceberg metadata shape)."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def current_snapshot(self, table):
+            s = self._inner.current_snapshot(table)
+            if s is not None:
+                s.properties = {k: v for k, v in (s.properties or {}).items()
+                                if k != "partition_by"}
+            return s
+
+    dfs = _load(spark, corpus_tables)
+    convs = sorted(r.conv_id for r in
+                   dfs["transcripts"].select("conv_id").distinct().collect())
+    first = set(convs[:50])
+    inner = TableStore(str(tmp_path / "kb"))
+    pipe = KGPipeline(spark, _LayoutlessMetaStore(inner), _cfg())
+    pipe.write_transcripts(
+        dfs["transcripts"].filter(F.col("conv_id").isin(first)))
+    for n in ("authority_entities", "authority_ids"):
+        inner.write(dfs[n], n)
+    pipe.run(resume=False)
+    batch = dfs["transcripts"].filter(~F.col("conv_id").isin(first))
+    # correctly bucket-partitioned table + metadata that simply doesn't
+    # record it -> must NOT raise (before the fix: spurious RuntimeError)
+    pipe.ingest_stage1(batch)
+    assert (inner.read(spark, "transcripts").select("conv_id").distinct()
+            .count() == len(convs))
+    # the guard still fires when the table structurally LACKS the
+    # layout (plain write: no partition_by property, no bucket column)
+    bad = TableStore(str(tmp_path / "bad"))
+    badpipe = KGPipeline(spark, bad, _cfg())
+    bad.write(dfs["transcripts"].filter(F.col("conv_id").isin(first)),
+              "transcripts")
+    for n in ("authority_entities", "authority_ids"):
+        bad.write(dfs[n], n)
+    with pytest.raises(RuntimeError, match="not bucket-partitioned"):
+        badpipe.ingest_stage1(batch)
+
+
 def test_mixed_batch_splits_append_and_merge(spark, corpus_tables, tmp_path):
     """One replaced conversation must NOT drag a mostly-new batch through
     the merge path: the new slice appends, only the replaced slice

@@ -132,6 +132,64 @@ def test_unique_key_merge_rejects_duplicate_key_batch(
         store.merge(df, "t", ["k"], unique_key=True)
 
 
+def test_merge_materializes_batch_before_delete(
+        spark, monkeypatch, tmp_path):
+    """ADVICE r04: a group-replacement merge whose batch plan READS the
+    target table must evaluate against pre-delete state — the store
+    must run its materializer barrier on the batch BEFORE executing the
+    DELETE, or the deferred append re-evaluates post-delete and loses
+    rows. Pinned by recording the order of (materialize, DELETE,
+    append) without an Iceberg runtime."""
+    import pandas as pd
+
+    events = []
+
+    class _WriterStub:
+        def append(self):
+            events.append("append")
+
+    class _DfProxy:
+        """Delegates to a real DataFrame; intercepts writeTo."""
+
+        def __init__(self, df):
+            self._df = df
+
+        def __getattr__(self, name):
+            return getattr(self._df, name)
+
+        def writeTo(self, ident):
+            return _WriterStub()
+
+    def recording_materializer(df):
+        events.append("materialize")
+        return _DfProxy(df)
+
+    spark.conf.set("spark.sql.catalog.faketest3",
+                   "org.apache.iceberg.spark.SparkCatalog")
+    store = IcebergTableStore(spark, catalog="faketest3", namespace="kb",
+                              materializer=recording_materializer)
+    monkeypatch.setattr(store, "exists", lambda t: True)
+
+    real_sql = spark.sql
+
+    def recording_sql(stmt, *a, **kw):
+        if stmt.lstrip().upper().startswith("DELETE"):
+            events.append("delete")
+            return None
+        return real_sql(stmt, *a, **kw)
+
+    monkeypatch.setattr(store, "spark", spark)
+    monkeypatch.setattr(type(spark), "sql", lambda self, s, *a, **kw:
+                        recording_sql(s, *a, **kw), raising=True)
+    try:
+        df = spark.createDataFrame(pd.DataFrame(
+            {"k": ["a", "b"], "v": [1, 2]}))
+        store.merge(df, "t", ["k"])
+    finally:
+        monkeypatch.undo()
+    assert events == ["materialize", "delete", "append"]
+
+
 def test_manifest_root_property(spark):
     spark.conf.set("spark.sql.catalog.faketest2",
                    "org.apache.iceberg.spark.SparkCatalog")

@@ -155,3 +155,48 @@ def test_streaming_sessions_gap_and_timeout_close(spark, tmp_path):
     opens = {(r.key, r.session_start, r.n_events)
              for r in rows if not r.closed}
     assert ("a", base + 3600.0, 1) in opens
+
+
+def test_streaming_sessions_late_event_moves_start_back(spark, tmp_path):
+    """ADVICE r04: a late cross-trigger event EARLIER than the restored
+    session_start (within the watermark and the gap) must move the open
+    session's start BACK to the earliest member — matching
+    temporal.sessionize batch semantics (sessions close only on forward
+    gaps). Before the fix the merged session reported a start later
+    than its earliest event."""
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+
+    def write_file(rows):
+        pdf = pd.DataFrame(rows, columns=["conv_id", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pdf["turn_idx"] = pd.array([0] * len(pdf), dtype="int32")
+        pdf["role"] = "user"
+        pdf["text"] = "x"
+        pdf["tool"] = None
+        spark.createDataFrame(
+            pdf[["conv_id", "turn_idx", "role", "text", "tool", "ts"]],
+            schema=ing.TRANSCRIPT_SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    # trigger 1 opens the session at 09:00:50; trigger 2 delivers a
+    # LATE event 40 s earlier (gap=100 s -> merges; watermark=10 min ->
+    # not dropped)
+    write_file([("a", "2026-01-05 09:00:50"), ("a", "2026-01-05 09:01:00")])
+    write_file([("a", "2026-01-05 09:00:10")])
+
+    stream = (spark.readStream.schema(ing.TRANSCRIPT_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = str(tmp_path / "out")
+    q = ing.run_session_stream(stream, out, str(tmp_path / "ckpt"),
+                               gap_seconds=100.0, watermark="10 minutes")
+    q.awaitTermination(180)
+    rows = spark.read.parquet(out).collect()
+    base = pd.Timestamp("2026-01-05 09:00:00").timestamp()
+    opens = {(r.key, r.session_start, r.session_end, r.n_events)
+             for r in rows if not r.closed}
+    # the open session spans ALL three events with start at the
+    # earliest (09:00:10), not the restored 09:00:50
+    assert ("a", base + 10.0, base + 60.0, 3) in opens
+    # and no session was spuriously closed by the backward merge
+    assert not any(r.closed for r in rows)
