@@ -40,6 +40,43 @@ _METHOD_SCORE = {
     METHOD_VARIANT: 0.8,
 }
 
+# Above this many blocking-key rows the authority dimension stops being
+# a safe broadcast: ~2M exploded label/alias keys is O(100s of MB)
+# serialized per executor — a Wikidata-scale authority (the reference's
+# own source, Wikidata_import.py:120-160, ~100M labels+aliases) would
+# OOM the driver. Past the threshold the joins fall back to plain
+# shuffle joins (AQE still free to broadcast genuinely small probe
+# sides at runtime).
+AUTHORITY_BROADCAST_MAX_ROWS = 2_000_000
+
+
+def _hint(df: DataFrame, broadcast: bool) -> DataFrame:
+    """Apply the explicit broadcast hint only when the size gate allows
+    it; un-hinted, AQE decides from actual runtime sizes."""
+    return F.broadcast(df) if broadcast else df
+
+
+def authority_fits_broadcast(
+    authority_entities: DataFrame,
+    authority_ids: DataFrame | None = None,
+    max_rows: int = AUTHORITY_BROADCAST_MAX_ROWS,
+) -> bool:
+    """Row-count probe for the broadcast size gate (VERDICT r04 #1).
+
+    Counts the EXPLODED blocking-key table (labels + aliases + strong
+    ids) — the widest frame any stage-2/3 join broadcasts — with one
+    column-pruned count job. The probe costs one scan of the authority
+    dimension per pipeline stage; the thing it prevents (an
+    unconditional ``F.broadcast`` of a 100M-row authority) costs the
+    cluster. Callers that know their authority (curated, small) can
+    skip the probe by passing an explicit ``broadcast=`` bool to the
+    stage functions.
+    """
+    n = authority_block_keys(authority_entities).count()
+    if authority_ids is not None:
+        n += authority_ids.count()
+    return n <= max_rows
+
 
 def authority_block_keys(authority_entities: DataFrame) -> DataFrame:
     """Explode authority labels + aliases + generated variants to a
@@ -128,6 +165,7 @@ def trigram_similarity(a: str = "norm_surface", b: str = "match_label"):
 def score_candidates_similarity(
     candidates: DataFrame,
     authority_entities: DataFrame,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Blend the method-prior score with trigram similarity to the entity's
     canonical label: score = 0.5*prior + 0.5*trigram, with two guards:
@@ -139,10 +177,16 @@ def score_candidates_similarity(
         comparing against the raw label scored an exact hyphenated match
         ('stat forge' vs 'Stat-Forge') well under 1.0, letting a space-form
         competitor steal the surface.
+
+    ``broadcast``: size-gate for the label-dimension hint (None =
+    probe via :func:`authority_fits_broadcast`).
     """
-    labels = F.broadcast(
+    if broadcast is None:
+        broadcast = authority_fits_broadcast(authority_entities)
+    labels = _hint(
         authority_entities.select(
-            "entity_id", norm_name(F.col("label")).alias("match_label")))
+            "entity_id", norm_name(F.col("label")).alias("match_label")),
+        broadcast)
     blended = F.round(
         0.5 * F.col("score")
         + 0.5 * trigram_similarity("norm_surface", "match_label"), 6)
@@ -161,14 +205,25 @@ def generate_candidates(
     authority_entities: DataFrame,
     authority_ids: DataFrame | None = None,
     triples: DataFrame | None = None,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Blocked candidate generation: one row per (mention-group, entity).
 
-    Both joins broadcast the authority side explicitly — it is the curated
-    dimension and must never become the shuffle partner of a 10^12-row
-    mention table. Candidates carry a method + score; the strong-id path
-    wins ties via score then method ordering.
+    The authority side is the dimension and must never become the
+    SHUFFLE partner of a 10^12-row mention table when it is genuinely
+    small — but hinting ``F.broadcast`` unconditionally OOMs the moment
+    the authority is Wikidata-scale. ``broadcast`` size-gates the hint:
+    None probes via :func:`authority_fits_broadcast`; past the gate the
+    join runs as a plain shuffle join (AQE's skew-join splits hot
+    mention surfaces at runtime — enabled in session.py — and
+    :mod:`softcite_kb_spark.functions.skew` offers explicit
+    salting/split plans where AQE can't reach). Candidates carry a
+    method + score; the strong-id path wins ties via score then method
+    ordering.
     """
+    if broadcast is None:
+        broadcast = authority_fits_broadcast(authority_entities,
+                                             authority_ids)
     m = folded_mentions.select("conv_id", "norm_surface", "n_mentions")
 
     # union the (tiny) key dimensions FIRST so the 10^12-row mention side
@@ -184,7 +239,7 @@ def generate_candidates(
         keys = keys.unionByName(pkg)
 
     cands = (
-        m.join(F.broadcast(keys),
+        m.join(_hint(keys, broadcast),
                m.norm_surface == keys.block_key, "inner")
         .drop("block_key")
     )
@@ -201,7 +256,7 @@ def generate_candidates(
         cands = (
             cands
             .join(ml, "norm_surface", "left")
-            .join(F.broadcast(el), "entity_id", "left")
+            .join(_hint(el, broadcast), "entity_id", "left")
             .filter(
                 F.col("mention_langs").isNull()
                 | F.col("langs").isNull()
@@ -271,12 +326,16 @@ def vote_links(
 
 
 def surface_stats(folded_mentions: DataFrame) -> DataFrame:
-    """(norm_surface, total n_mentions) — the only conversation-dependent
-    input the voting decision needs (see :func:`vote_links_surface`).
-    One map-side-combined groupBy whose key space is DISTINCT SURFACES,
-    not mention groups."""
+    """(norm_surface, total n_mentions, group count) — the only
+    conversation-dependent input the voting decision needs (see
+    :func:`vote_links_surface`). One map-side-combined groupBy whose
+    key space is DISTINCT SURFACES, not mention groups. ``n_groups``
+    (rows per surface in folded_mentions) doubles as the hot-key
+    statistic for the final accepted-map join — computed here so the
+    skew policy costs zero extra passes over the mention table."""
     return folded_mentions.groupBy("norm_surface").agg(
-        F.sum("n_mentions").alias("surface_mentions"))
+        F.sum("n_mentions").alias("surface_mentions"),
+        F.count("*").cast("long").alias("n_groups"))
 
 
 def generate_surface_candidates(
@@ -284,6 +343,7 @@ def generate_surface_candidates(
     authority_entities: DataFrame,
     authority_ids: DataFrame | None = None,
     triples: DataFrame | None = None,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Candidate (surface, entity, method, score) rows at SURFACE
     granularity — the blocking join keyed on norm_surface makes the
@@ -292,7 +352,16 @@ def generate_surface_candidates(
     conversation group (as :func:`generate_candidates` does) multiplies
     identical rows by the number of conversations for no information.
     ``stats`` is :func:`surface_stats` output; ``surface_mentions``
-    rides along for the voting stage."""
+    rides along for the voting stage.
+
+    ``broadcast`` size-gates the authority-side hints (None = probe
+    via :func:`authority_fits_broadcast`); past the gate, plain
+    shuffle joins — and because ``stats`` has ONE row per distinct
+    surface, the shuffle key is unskewed by construction (the hot "R"
+    surface is a single row here)."""
+    if broadcast is None:
+        broadcast = authority_fits_broadcast(authority_entities,
+                                             authority_ids)
     keys = authority_block_keys(authority_entities)
     if authority_ids is not None:
         pkg = (
@@ -303,7 +372,7 @@ def generate_surface_candidates(
         )
         keys = keys.unionByName(pkg)
     cands = (
-        stats.join(F.broadcast(keys),
+        stats.join(_hint(keys, broadcast),
                    stats.norm_surface == keys.block_key, "inner")
         .drop("block_key")
     )
@@ -317,7 +386,7 @@ def generate_surface_candidates(
         cands = (
             cands
             .join(ml, "norm_surface", "left")
-            .join(F.broadcast(el), "entity_id", "left")
+            .join(_hint(el, broadcast), "entity_id", "left")
             .filter(
                 F.col("mention_langs").isNull()
                 | F.col("langs").isNull()
@@ -389,6 +458,8 @@ def link_mentions(
     authority_ids: DataFrame | None = None,
     triples: DataFrame | None = None,
     min_total: int = 2,
+    broadcast: bool | None = None,
+    hot_surface_threshold: int = 0,
 ) -> DataFrame:
     """Full stage-2: surface-level candidates -> voting -> per-group links.
 
@@ -401,16 +472,49 @@ def link_mentions(
     similarity-scoring building block): the 10^12-row mention table is
     touched exactly twice, once by the map-side-combined surface stats
     and once by the final accepted-map join.
+
+    ``broadcast`` size-gates every authority-side hint (None = one
+    :func:`authority_fits_broadcast` probe shared by all of them).
+
+    ``hot_surface_threshold`` > 0 turns on the skew POLICY for the
+    final accepted-map join when that map is too big to broadcast: a
+    surface with more than this many mention groups (the "R" problem,
+    merge.py:186-189) joins through a broadcast of the hot slice of
+    the accepted map while the cold tail takes the plain shuffle join
+    (:func:`softcite_kb_spark.functions.skew.hot_key_split_join`
+    shape). The hot-key statistic is ``n_groups``, already computed by
+    the surface-stats pass — the DECISION costs zero extra scans; the
+    split plan itself reads the mention table through a hot/cold
+    semi/anti pair, trading one extra broadcast-filtered scan for
+    keeping the hot surface out of the shuffle entirely.
     """
+    if broadcast is None:
+        broadcast = authority_fits_broadcast(authority_entities,
+                                             authority_ids)
     stats = surface_stats(folded_mentions)
     cands = generate_surface_candidates(
-        stats, authority_entities, authority_ids, triples)
+        stats, authority_entities, authority_ids, triples,
+        broadcast=broadcast)
     accepted = vote_links_surface(cands, min_total=min_total).select(
         "norm_surface",
         F.col("entity_id"),
         F.col("method").alias("link_method"),
         F.col("score").alias("link_score"),
     )
+    if hot_surface_threshold > 0:
+        # split plan from the precomputed per-surface group counts: the
+        # hot slice of the accepted map is bounded by the number of hot
+        # surfaces (tiny) and broadcasts; the cold tail shuffles
+        hot = F.broadcast(
+            stats.filter(F.col("n_groups") > hot_surface_threshold)
+            .select("norm_surface"))
+        f_hot = folded_mentions.join(hot, "norm_surface", "left_semi")
+        f_cold = folded_mentions.join(hot, "norm_surface", "left_anti")
+        acc_hot = accepted.join(hot, "norm_surface", "left_semi")
+        return (
+            f_hot.join(F.broadcast(acc_hot), "norm_surface", "left")
+            .unionByName(f_cold.join(accepted, "norm_surface", "left"))
+        )
     # surface->entity map size is bounded by distinct surfaces, typically
     # broadcastable, but can reach GBs at web scale — let AQE decide.
     return folded_mentions.join(accepted, "norm_surface", "left")

@@ -48,6 +48,19 @@ class PipelineConfig:
     # touched buckets (storage.TableStore pruned merge) instead of the
     # whole table. 0 = unbucketed (full-rewrite merges, still correct).
     partition_buckets: int = 0
+    # Broadcast policy for every authority-dimension join in stage 2/3
+    # (VERDICT r04 #1): "auto" probes the exploded blocking-key row
+    # count once per stage (linking.authority_fits_broadcast) and falls
+    # back to plain shuffle joins for a Wikidata-scale authority;
+    # "always"/"never" skip the probe. EXECUTION detail — cannot change
+    # stage outputs, so deliberately NOT part of the config fingerprint
+    # (like `materializer`): re-tuning it must not invalidate resume.
+    authority_broadcast: str = "auto"
+    # >0 turns on the hot-surface split plan for stage-2's final
+    # accepted-map join (see linking.link_mentions): surfaces with more
+    # than this many mention groups join through a broadcast hot slice.
+    # Execution detail, also outside the fingerprint.
+    hot_surface_threshold: int = 0
     extra: dict = field(default_factory=dict)
 
     def fingerprint(self) -> str:
@@ -515,6 +528,16 @@ class KGPipeline:
             self._save_manifest(m)
         return snap
 
+    def _broadcast_decision(self, auth, ids=None) -> bool:
+        """One probe per stage under "auto" (the decision is then passed
+        as a concrete bool to every join helper — no repeated counts)."""
+        mode = self.config.authority_broadcast
+        if mode == "always":
+            return True
+        if mode == "never":
+            return False
+        return lk.authority_fits_broadcast(auth, ids)
+
     def stage_link(self) -> None:
         # bucket is a storage-layout column (incremental merge pruning)
         # — keep it out of the relational stages
@@ -523,14 +546,16 @@ class KGPipeline:
         ids = (self.store.read(self.spark, "authority_ids")
                if self.store.exists("authority_ids") else None)
         triples = self.store.read(self.spark, "triples").drop("bucket")
+        bc = self._broadcast_decision(auth, ids)
         if self.config.similarity_scoring:
             # surface-granularity decision (see vote_links_surface): the
             # trigram rescoring is surface-pure like the method prior,
             # so it blends per (surface, entity) row, not per group
             stats = lk.surface_stats(folded)
             cands = lk.generate_surface_candidates(stats, auth, ids,
-                                                   triples)
-            cands = lk.score_candidates_similarity(cands, auth)
+                                                   triples, broadcast=bc)
+            cands = lk.score_candidates_similarity(cands, auth,
+                                                   broadcast=bc)
             accepted = lk.vote_links_surface(
                 cands, min_total=self.config.min_vote_total).select(
                 "norm_surface", "entity_id",
@@ -540,7 +565,9 @@ class KGPipeline:
         else:
             linked = lk.link_mentions(
                 folded, auth, ids, triples,
-                min_total=self.config.min_vote_total)
+                min_total=self.config.min_vote_total,
+                broadcast=bc,
+                hot_surface_threshold=self.config.hot_surface_threshold)
         self.store.write(linked, "linked_mentions")
         self._write_metrics(
             "link", self.store.read(self.spark, "linked_mentions"),
@@ -550,6 +577,7 @@ class KGPipeline:
         linked = self.store.read(self.spark, "linked_mentions")
         triples = self.store.read(self.spark, "triples").drop("bucket")
         auth = self.store.read(self.spark, "authority_entities")
+        bc = self._broadcast_decision(auth)
         canon = cz.canonical_map(linked, max_iter=self.config.cc_max_iter,
                                  algorithm=self.config.cc_algorithm,
                                  materializer=self.materializer)
@@ -557,12 +585,14 @@ class KGPipeline:
         canon = self.store.read(self.spark, "canonical_map")
         stmts = cz.fold_statements(triples, canon, source=self.config.source_name)
         self.store.write(stmts, "statements")
-        nodes = cz.build_nodes(canon, authority_entities=auth)
+        nodes = cz.build_nodes(canon, authority_entities=auth, broadcast=bc)
         edges = cz.build_edges(triples, canon,
-                               authority_keys=lk.authority_block_keys(auth))
+                               authority_keys=lk.authority_block_keys(auth),
+                               broadcast=bc)
         self.store.write(edges, "edges")
         edges = self.store.read(self.spark, "edges")
-        nodes = cz.augment_nodes_with_authority(nodes, edges, auth)
+        nodes = cz.augment_nodes_with_authority(nodes, edges, auth,
+                                                broadcast=bc)
         self.store.write(nodes, "nodes")
         self._write_metrics("canonicalize",
                             self.store.read(self.spark, "nodes"), "nodes")
