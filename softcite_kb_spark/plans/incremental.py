@@ -1,0 +1,615 @@
+"""Incremental stage-2/3 state maintenance (VERDICT r04 #2).
+
+``KGPipeline.ingest_increment`` is incremental only through stage 1:
+link + canonicalize re-run over the full ``folded_mentions`` each
+increment. After the surface-granularity collapses those re-runs are
+scan-bound, but at 10^12 turns two O(corpus) scans per increment are
+still the dominant cost. This module finishes the job: stage-2
+decisions and every stage-3 output table are MAINTAINED, with
+per-increment reads that scale with the touched slice, never with the
+corpus. Reference analog: the idempotent re-import the ArangoDB
+``collection.has(key)`` guards provide (softcite_kb Readme.md:261-265)
+— here done at O(increment), not O(corpus).
+
+Cost model per increment (the claim the tests pin):
+
+* O(touched conv buckets) — stage-1 reads (inherited);
+* O(touched surface buckets) — every read of the corpus-scale
+  surface-layout tables is partition-pruned to the buckets of the
+  touched/affected surfaces, and every commit is a pruned MERGE;
+* O(distinct surfaces) — the surface-granularity state
+  (``surface_stats``, ``surface_canon``, ``accepted_links``) and the
+  connected-components re-run are read in full: they are the
+  surface-collapsed frames, already millions of times smaller than the
+  corpus (CC over the surface-entity graph is inherently global — a
+  new edge can merge two far-apart components);
+* never O(turns) and never O(mention groups) outside touched buckets.
+
+How the affected slice is found (and why it is CLOSED):
+
+1. ``T`` — touched surfaces: subject surfaces of the batch's new rows
+   plus old rows of replaced conversations.
+2. stage-2 decisions recompute for ``T`` only (voting is
+   surface-pure: a surface's accepted entity depends only on its own
+   stats and candidate set) -> decision diff ``D``.
+3. CC re-runs over the full (small) accepted surface-entity edge set;
+   ``C`` = surfaces whose canonical id changed.
+4. ``A = T ∪ D ∪ C``;  affected canonicals
+   ``K = canon_new(A) ∪ canon_old(A) ∪ canon_new(subj(triples with
+   OBJECT surface in A))`` — the last term via the object-surface
+   projection ``triples_by_obj``: an edge's destination re-points when
+   its OBJECT's canonical moves, which dirties edge rows owned by the
+   un-touched SUBJECT's canonical.
+5. ``S*`` = all surfaces of canonicals in ``K`` (surface closure, from
+   the small ``surface_canon``); every downstream group key (statement
+   fold, node build, edge build all group by canonical) is therefore
+   fully contained in the recomputed slice, so running the UNCHANGED
+   batch operators on the pruned inputs yields exactly the rows that
+   replace the old groups. Semantics live in one place; this module
+   only finds the slice and merges it.
+
+Storage layout: the corpus-scale state tables are SURFACE-bucketed
+(``bucket = pmod(xxhash64(norm_surface), surface_buckets)``) while the
+stage-1 tables keep their conv-bucket layout — the two sort orders the
+round-4 notes called conflicting are simply both materialized (the
+C-Store projection trade: ~2x triple storage buys O(touched) reads in
+both access patterns). Output tables bucket by their own group key
+(canonical id for statements/nodes/edges).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from softcite_kb_spark.operators import canonicalize as cz
+from softcite_kb_spark.operators import linking as lk
+from softcite_kb_spark.plans.pipeline import KGPipeline
+from softcite_kb_spark.storage import TableStore
+
+
+def _sbucket(col, n: int):
+    return F.pmod(F.xxhash64(col), F.lit(n))
+
+
+class IncrementalKGPipeline(KGPipeline):
+    """KGPipeline whose ``ingest_increment`` maintains stage-2/3 state
+    instead of re-running link+canonicalize over the corpus.
+
+    Usage::
+
+        pipe = IncrementalKGPipeline(spark, store, cfg, surface_buckets=64)
+        pipe.write_transcripts(transcripts)
+        store.write(authority_entities, "authority_entities"); ...
+        pipe.bootstrap()                   # batch run + state build
+        pipe.ingest_increment(batch_df)    # O(touched slice) from now on
+
+    Requires ``config.partition_buckets > 0`` (stage-1 pruning) and a
+    static authority (authority changes require re-``bootstrap`` — the
+    reference re-imports wholesale on authority updates too).
+    ``run()`` remains the BATCH path; calling it post-bootstrap
+    recomputes outputs batch-style without the merge-ready layouts, so
+    increments after a manual ``run()`` need a fresh ``bootstrap()``.
+    """
+
+    #: corpus-scale surface-layout state (pruned reads + pruned merges)
+    STATE_TABLES = ("folded_by_surface", "triples_by_subj",
+                    "triples_by_obj")
+    #: surface-granularity state (small; read in full)
+    SURFACE_TABLES = ("surface_stats", "accepted_links", "surface_canon")
+
+    def __init__(self, spark, store: TableStore, config=None,
+                 materializer=None, surface_buckets: int = 32) -> None:
+        super().__init__(spark, store, config, materializer)
+        if self.config.partition_buckets <= 0:
+            raise ValueError(
+                "IncrementalKGPipeline requires partition_buckets > 0 "
+                "(stage-1 pruning is the foundation the stage-2/3 "
+                "maintenance builds on)")
+        self.surface_buckets = surface_buckets
+        # per-ingest observability: {table: sorted bucket list} of every
+        # pruned read — what the scale tests assert on
+        self.last_read_buckets: dict[str, list] = {}
+
+    # -- helpers ----------------------------------------------------------
+    def _mat(self):
+        from softcite_kb_spark.materialize import (
+            local_checkpoint_materializer)
+
+        return self.materializer or local_checkpoint_materializer
+
+    def _with_sbucket(self, df: DataFrame, col: str = "norm_surface",
+                      name: str = "bucket") -> DataFrame:
+        n = self.surface_buckets
+        return df.withColumn(name, _sbucket(F.col(col), n)) \
+            .repartition(n, F.col(name))
+
+    def _pruned_read(self, table: str, surfaces: DataFrame,
+                     col: str = "norm_surface") -> DataFrame:
+        """Read ``table`` restricted to the partitions holding the given
+        surfaces — the bucket list is collected (bounded by
+        ``surface_buckets``), recorded for observability, and pushed
+        down as a partition filter."""
+        bks = sorted(r[0] for r in surfaces.select(
+            _sbucket(F.col(col), self.surface_buckets).alias("b"))
+            .distinct().collect())
+        self.last_read_buckets.setdefault(table, [])
+        self.last_read_buckets[table] = sorted(
+            set(self.last_read_buckets[table]) | set(bks))
+        df = self.store.read(self.spark, table)
+        return df.filter(F.col("bucket").isin(bks))
+
+    def _conv_pruned(self, table: str, conv_keys: DataFrame) -> DataFrame:
+        """Conv-bucket-pruned read of a stage-1 table, semi-joined to
+        the given conversations."""
+        n = self.config.partition_buckets
+        bks = sorted(r[0] for r in conv_keys.select(
+            F.pmod(F.xxhash64("conv_id"), F.lit(n)).alias("b"))
+            .distinct().collect())
+        df = self.store.read(self.spark, table)
+        df = df.filter(F.col("bucket").isin(bks))
+        return df.join(conv_keys, "conv_id", "left_semi")
+
+    @staticmethod
+    def _norm_subj(df: DataFrame) -> DataFrame:
+        from softcite_kb_spark.functions.text import norm_name
+
+        return df.withColumn("norm_surface", norm_name(F.col("subj")))
+
+    @staticmethod
+    def _norm_obj(df: DataFrame) -> DataFrame:
+        from softcite_kb_spark.functions.text import norm_name
+
+        return df.withColumn("norm_obj", norm_name(F.col("obj")))
+
+    def _accepted_for(self, stats: DataFrame,
+                      triples: DataFrame | None) -> DataFrame:
+        """Stage-2 decision for exactly the surfaces in ``stats`` —
+        voting is surface-pure, so a subset computes the subset's
+        decisions exactly (pinned against the batch path by tests).
+        ``triples`` feeds the language post-validation (J6) and must
+        cover every triple whose SUBJECT surface is in ``stats`` (the
+        per-surface language sets are aggregates over exactly those
+        rows — the surface-pruned ``triples_by_subj`` slice provides
+        them completely)."""
+        auth = self.store.read(self.spark, "authority_entities")
+        ids = (self.store.read(self.spark, "authority_ids")
+               if self.store.exists("authority_ids") else None)
+        bc = self._broadcast_decision(auth, ids)
+        cands = lk.generate_surface_candidates(
+            stats.select("norm_surface", "surface_mentions"), auth, ids,
+            triples=triples, broadcast=bc)
+        if self.config.similarity_scoring:
+            cands = lk.score_candidates_similarity(cands, auth,
+                                                   broadcast=bc)
+        return lk.vote_links_surface(
+            cands, min_total=self.config.min_vote_total).select(
+            "norm_surface", "entity_id",
+            F.col("method").alias("link_method"),
+            F.col("score").alias("link_score"))
+
+    def _stats_for(self, folded_slice: DataFrame) -> DataFrame:
+        """surface_stats row recompute (+ the per-surface min node id
+        ``srep``, the canonical fallback)."""
+        node = cz.mention_node_id(F.col("conv_id"), F.col("norm_surface"))
+        return (folded_slice
+                .withColumn("__node", node)
+                .groupBy("norm_surface")
+                .agg(F.sum("n_mentions").alias("surface_mentions"),
+                     F.count("*").cast("long").alias("n_groups"),
+                     F.min("__node").alias("srep")))
+
+    def _surface_canon_from_state(self, accepted: DataFrame,
+                                  stats: DataFrame) -> DataFrame:
+        """(norm_surface, canonical_id) for EVERY surface — CC over the
+        accepted surface-entity edges (cz.canonical_map's surface
+        collapse, recomputed globally: O(accepted surfaces)), entity
+        hub preferred, else component-min srep, else own srep."""
+        sedges = accepted.select(
+            F.concat(F.lit("s:"), F.col("norm_surface")).alias("src"),
+            F.concat(F.lit("e:"), F.col("entity_id")).alias("dst"))
+        if self.config.cc_algorithm == "star":
+            cc = cz.connected_components_star(
+                sedges, materializer=self.materializer)
+        else:
+            cc = cz.connected_components(
+                sedges, max_iter=self.config.cc_max_iter,
+                materializer=self.materializer)
+        scomp = (cc.filter(F.col("member_id").startswith("s:"))
+                 .select(F.expr("substring(member_id, 3)")
+                         .alias("norm_surface"), "component_id"))
+        hubs = (cc.filter(F.col("member_id").startswith("e:"))
+                .groupBy("component_id")
+                .agg(F.min("member_id").alias("entity_hub")))
+        sreps = stats.select("norm_surface", "srep")
+        comp_min = (sreps.join(scomp, "norm_surface")
+                    .groupBy("component_id")
+                    .agg(F.min("srep").alias("comp_min")))
+        return (sreps.join(scomp, "norm_surface", "left")
+                .join(hubs, "component_id", "left")
+                .join(comp_min, "component_id", "left")
+                .select("norm_surface",
+                        F.coalesce("entity_hub", "comp_min", "srep")
+                        .alias("canonical_id")))
+
+    def _node_columns(self) -> list[str]:
+        return [f.name for f in
+                self.store.read(self.spark, "nodes").schema.fields]
+
+    @staticmethod
+    def _canon_rows(folded: DataFrame, accepted: DataFrame,
+                    scanon: DataFrame) -> DataFrame:
+        """Reconstruct canonical_map rows (linked_mentions columns +
+        node_id + canonical_id — the schema the batch stage writes) for
+        the given folded slice: the accepted entity and the canonical
+        id are both SURFACE-pure, so two surface-keyed joins recover
+        the per-group rows exactly."""
+        return (folded
+                .withColumn("node_id", cz.mention_node_id(
+                    F.col("conv_id"), F.col("norm_surface")))
+                .join(accepted, "norm_surface", "left")
+                .join(scanon, "norm_surface", "left")
+                .withColumn("canonical_id",
+                            F.coalesce("canonical_id", "node_id")))
+
+    # -- bootstrap --------------------------------------------------------
+    def bootstrap(self, resume: bool = True) -> dict:
+        """Batch run + build every state table and re-commit the output
+        tables in their merge-ready (bucketed) layouts."""
+        report = self.run(resume=resume)
+        mat = self._mat()
+
+        folded = self.store.read(self.spark, "folded_mentions") \
+            .drop("bucket")
+        triples = self.store.read(self.spark, "triples").drop("bucket")
+        self.store.write(self._with_sbucket(folded), "folded_by_surface",
+                         partition_by=["bucket"])
+        self.store.write(self._with_sbucket(self._norm_subj(triples)),
+                         "triples_by_subj", partition_by=["bucket"])
+        self.store.write(
+            self._with_sbucket(self._norm_obj(triples), col="norm_obj"),
+            "triples_by_obj", partition_by=["bucket"])
+
+        stats = mat(self._stats_for(folded))
+        self.store.write(self._with_sbucket(stats), "surface_stats",
+                         partition_by=["bucket"])
+        accepted = mat(self._accepted_for(stats, triples))
+        self.store.write(self._with_sbucket(accepted), "accepted_links",
+                         partition_by=["bucket"])
+        scanon = self._surface_canon_from_state(accepted, stats)
+        self.store.write(self._with_sbucket(scanon), "surface_canon",
+                         partition_by=["bucket"])
+
+        # outputs, re-laid-out for pruned merges (same rows the batch
+        # stages committed — the canonical map is recomputed from state
+        # to guarantee byte-identity with what increments will maintain)
+        canon = self._canon_rows(folded, accepted, scanon)
+        self.store.write(self._with_sbucket(canon), "canonical_map",
+                         partition_by=["bucket"])
+        for t in ("statements", "nodes", "edges"):
+            df = self.store.read(self.spark, t)
+            key = "canonical_id" if t != "edges" else "src_id"
+            self.store.write(
+                self._with_sbucket(df, col=key), t,
+                partition_by=["bucket"])
+        edges = self.store.read(self.spark, "edges")
+        refs = (edges.filter(F.col("dst_id").startswith("e:"))
+                .select(F.expr("substring(dst_id, 3)").alias("entity_id"))
+                .groupBy("entity_id")
+                .agg(F.count("*").cast("long").alias("nrefs")))
+        self.store.write(refs, "auth_refs")
+        m = self._load_manifest()
+        m["_ingest23"] = {"bootstrapped_at": time.time(),
+                          "surface_buckets": self.surface_buckets,
+                          "config": self.config.fingerprint()}
+        self._save_manifest(m)
+        return report
+
+    # -- the incremental ingest ------------------------------------------
+    def ingest_increment(self, new_transcripts: DataFrame) -> dict:
+        t0 = time.time()
+        m = self._load_manifest()
+        if "_ingest23" not in m:
+            raise RuntimeError(
+                "incremental stage-2/3 state missing — call bootstrap() "
+                "once after the initial load (or use the batch "
+                "KGPipeline)")
+        if m["_ingest23"].get("config") != self.config.fingerprint():
+            raise RuntimeError(
+                "pipeline config changed since bootstrap — stage-2/3 "
+                "state was built under a different config; re-run "
+                "bootstrap()")
+        self.last_read_buckets = {}
+        mat = self._mat()
+        spark = self.spark
+        batch_keys = mat(new_transcripts.select("conv_id").distinct())
+
+        # ---- capture the OLD touched slice BEFORE stage-1 commits ----
+        old_folded_pairs = mat(self._norm_pairs(
+            self._conv_pruned("folded_mentions", batch_keys)
+            .select("norm_surface", "conv_id")))
+        old_triples = mat(
+            self._conv_pruned("triples", batch_keys)
+            .select("conv_id", "turn_idx", "subj", "pred", "obj"))
+
+        # ---- stage 1 (conv-layout, inherited) ----
+        self.ingest_stage1(new_transcripts)
+
+        # ---- maintain the surface-layout projections ----
+        new_slice = mat(
+            self._conv_pruned("folded_mentions", batch_keys)
+            .drop("bucket"))
+        new_triples = mat(
+            self._conv_pruned("triples", batch_keys).drop("bucket"))
+        self._merge_surface_projection(
+            "folded_by_surface", self._with_sbucket(new_slice),
+            old_keys=old_folded_pairs, key_col="norm_surface")
+        self._merge_surface_projection(
+            "triples_by_subj",
+            self._with_sbucket(self._norm_subj(new_triples)),
+            old_keys=self._norm_pairs(self._norm_subj(old_triples)
+                                      .select("norm_surface", "conv_id")),
+            key_col="norm_surface")
+        self._merge_surface_projection(
+            "triples_by_obj",
+            self._with_sbucket(self._norm_obj(new_triples),
+                               col="norm_obj"),
+            old_keys=self._norm_pairs(
+                self._norm_obj(old_triples)
+                .select(F.col("norm_obj").alias("norm_surface"),
+                        "conv_id")),
+            key_col="norm_obj")
+
+        # ---- T: touched surfaces ----
+        T = mat(new_slice.select("norm_surface").distinct().unionByName(
+            old_folded_pairs.select("norm_surface").distinct())
+            .distinct())
+
+        # ---- stage-2 decisions for T only ----
+        new_stats_T = mat(self._stats_for(
+            self._pruned_read("folded_by_surface", T)
+            .join(T, "norm_surface", "left_semi")))
+        vanished_T = T.join(new_stats_T, "norm_surface", "left_anti")
+        self.store.merge(self._with_sbucket(new_stats_T),
+                         "surface_stats",
+                         key_cols=["bucket", "norm_surface"],
+                         delete_keys=self._with_sbucket(vanished_T))
+        old_accepted_T = mat(self._pruned_read("accepted_links", T)
+                             .join(T, "norm_surface", "left_semi")
+                             .drop("bucket"))
+        triples_T = (self._pruned_read("triples_by_subj", T)
+                     .join(T, "norm_surface", "left_semi")
+                     .drop("bucket", "norm_surface"))
+        new_accepted_T = mat(self._accepted_for(new_stats_T, triples_T))
+        self.store.merge(self._with_sbucket(new_accepted_T),
+                         "accepted_links",
+                         key_cols=["bucket", "norm_surface"],
+                         delete_keys=self._with_sbucket(
+                             T.join(new_accepted_T, "norm_surface",
+                                    "left_anti")))
+        cols = ["norm_surface", "entity_id"]
+        D = (old_accepted_T.select(*cols)
+             .unionByName(new_accepted_T.select(*cols))
+             .exceptAll(old_accepted_T.select(*cols)
+                        .intersect(new_accepted_T.select(*cols)))
+             .select("norm_surface").distinct())
+
+        # ---- global surface canon (O(distinct surfaces)) ----
+        old_canon = mat(self.store.read(spark, "surface_canon")
+                        .drop("bucket"))
+        stats_full = self.store.read(spark, "surface_stats") \
+            .drop("bucket")
+        accepted_full = self.store.read(spark, "accepted_links") \
+            .drop("bucket")
+        new_canon = mat(self._surface_canon_from_state(
+            accepted_full, stats_full))
+        C = (old_canon.unionByName(new_canon)
+             .exceptAll(old_canon.intersect(new_canon))
+             .select("norm_surface").distinct())
+        self.store.merge(
+            self._with_sbucket(new_canon.join(
+                mat(C.unionByName(T).distinct()), "norm_surface",
+                "left_semi")),
+            "surface_canon", key_cols=["bucket", "norm_surface"],
+            delete_keys=self._with_sbucket(
+                old_canon.select("norm_surface")
+                .join(new_canon, "norm_surface", "left_anti")))
+
+        # ---- affected canonicals K and the surface closure S* ----
+        A = mat(T.unionByName(D).unionByName(C).distinct())
+        obj_hits = (self._pruned_read("triples_by_obj", A,
+                                      col="norm_surface")
+                    .withColumnRenamed("norm_obj", "__obj")
+                    .join(A.withColumnRenamed("norm_surface", "__obj"),
+                          "__obj", "left_semi"))
+        obj_src_surfaces = self._norm_subj(obj_hits) \
+            .select("norm_surface").distinct()
+        a_surfaces = mat(A.unionByName(obj_src_surfaces).distinct())
+        K = mat(
+            new_canon.join(a_surfaces, "norm_surface", "left_semi")
+            .select("canonical_id")
+            .unionByName(
+                old_canon.join(A, "norm_surface", "left_semi")
+                .select("canonical_id"))
+            .distinct())
+        S_star = mat(new_canon.join(K, "canonical_id", "left_semi")
+                     .select("norm_surface").distinct())
+        # every canonical whose group is recomputed (slice output keys)
+        K_slice = mat(new_canon.join(S_star, "norm_surface", "left_semi")
+                      .select("canonical_id").distinct())
+        K_all = mat(K.unionByName(K_slice).distinct())
+
+        # ---- slice inputs ----
+        folded_slice = mat(
+            self._pruned_read("folded_by_surface", S_star)
+            .join(S_star, "norm_surface", "left_semi").drop("bucket"))
+        triples_slice = mat(
+            self._pruned_read("triples_by_subj", S_star)
+            .join(S_star, "norm_surface", "left_semi")
+            .drop("bucket", "norm_surface"))
+        accepted_now = self.store.read(spark, "accepted_links") \
+            .drop("bucket")
+        canon_slice = mat(self._canon_rows(
+            folded_slice, accepted_now, new_canon))
+
+        # ---- canonical_map rows for changed/touched surfaces ----
+        tc = mat(T.unionByName(C).distinct())
+        self.store.merge(
+            self._with_sbucket(
+                canon_slice.join(tc, "norm_surface", "left_semi")),
+            "canonical_map", key_cols=["bucket", "norm_surface"],
+            delete_keys=self._with_sbucket(
+                tc.join(canon_slice, "norm_surface", "left_anti")))
+
+        # ---- statements / nodes / edges slices via batch operators ----
+        auth = self.store.read(spark, "authority_entities")
+        bc = self._broadcast_decision(auth)
+        k_del = self._with_sbucket(K_all, col="canonical_id")
+
+        stmts = cz.fold_statements(triples_slice, canon_slice,
+                                   source=self.config.source_name)
+        self.store.merge(self._with_sbucket(stmts, col="canonical_id"),
+                         "statements", key_cols=["bucket", "canonical_id"],
+                         delete_keys=k_del)
+
+        # old edge rows of the affected canonicals (pre-merge) for the
+        # authority-reference refcount delta
+        old_edges_k = mat(
+            self._pruned_read("edges", K_all, col="canonical_id")
+            .join(K_all.withColumnRenamed("canonical_id", "src_id"),
+                  "src_id", "left_semi").drop("bucket"))
+        # dst resolution needs canon rows for the slice's OBJECT
+        # surfaces too — one more pruned read over their buckets
+        obj_surfaces = self._norm_obj(triples_slice) \
+            .select(F.col("norm_obj").alias("norm_surface")).distinct()
+        canon_for_dst = (self._pruned_read("canonical_map", obj_surfaces)
+                         .drop("bucket")
+                         .select("conv_id", "norm_surface",
+                                 "canonical_id"))
+        canon_for_edges = canon_slice.select(
+            "conv_id", "norm_surface", "canonical_id") \
+            .unionByName(canon_for_dst).distinct()
+        edges_slice = mat(cz.build_edges(
+            triples_slice, canon_for_edges,
+            authority_keys=lk.authority_block_keys(auth), broadcast=bc))
+        self.store.merge(self._with_sbucket(edges_slice, col="src_id"),
+                         "edges", key_cols=["bucket", "src_id"],
+                         delete_keys=self._with_sbucket(
+                             K_all.withColumnRenamed(
+                                 "canonical_id", "src_id"),
+                             col="src_id"))
+
+        # ---- auth refcounts + authority-extra node rows ----
+        def _ref_counts(e):
+            return (e.filter(F.col("dst_id").startswith("e:"))
+                    .select(F.expr("substring(dst_id, 3)")
+                            .alias("entity_id"))
+                    .groupBy("entity_id")
+                    .agg(F.count("*").cast("long").alias("n")))
+
+        delta = (_ref_counts(edges_slice)
+                 .withColumnRenamed("n", "n_new")
+                 .join(_ref_counts(old_edges_k)
+                       .withColumnRenamed("n", "n_old"),
+                       "entity_id", "full")
+                 .select("entity_id",
+                         (F.coalesce("n_new", F.lit(0))
+                          - F.coalesce("n_old", F.lit(0))).alias("d"))
+                 .filter(F.col("d") != 0))
+        refs_old = self.store.read(spark, "auth_refs")
+        refs_new = mat(
+            refs_old.join(delta, "entity_id", "full")
+            .select("entity_id",
+                    (F.coalesce("nrefs", F.lit(0))
+                     + F.coalesce("d", F.lit(0))).alias("nrefs"))
+            .filter(F.col("nrefs") > 0))
+        self.store.write(refs_new, "auth_refs")
+
+        nodes_slice = cz.build_nodes(canon_slice,
+                                     authority_entities=auth,
+                                     broadcast=bc)
+        # authority-extra rows: entities whose refcount changed or whose
+        # e:-canonical membership was recomputed; present iff referenced
+        # and NOT a mention-derived canonical
+        e_aff = mat(
+            delta.select("entity_id")
+            .unionByName(K_all.filter(
+                F.col("canonical_id").startswith("e:"))
+                .select(F.expr("substring(canonical_id, 3)")
+                        .alias("entity_id")))
+            .distinct())
+        mention_e = new_canon.filter(
+            F.col("canonical_id").startswith("e:")) \
+            .select(F.expr("substring(canonical_id, 3)")
+                    .alias("entity_id")).distinct()
+        extras_present = (e_aff
+                          .join(refs_new, "entity_id", "left_semi")
+                          .join(mention_e, "entity_id", "left_anti"))
+        extra_rows = (extras_present
+                      .join(lk._hint(auth, bc), "entity_id", "inner")
+                      .select(
+                          "entity_id",
+                          F.concat(F.lit("e:"), F.col("entity_id"))
+                          .alias("canonical_id"),
+                          F.col("label"), F.col("aliases"),
+                          F.lit(0).cast("long").alias("n_mentions"),
+                          F.lit(0).cast("long").alias("n_surfaces"),
+                          F.col("entity_type")))
+        node_cols = [c for c in self._node_columns() if c != "bucket"]
+        for c in node_cols:
+            if c not in extra_rows.columns:
+                t = dict((f.name, f.dataType) for f in
+                         self.store.read(spark, "nodes").schema.fields)
+                extra_rows = extra_rows.withColumn(
+                    c, F.lit(None).cast(t[c]))
+            if c not in nodes_slice.columns:
+                t = dict((f.name, f.dataType) for f in
+                         self.store.read(spark, "nodes").schema.fields)
+                nodes_slice = nodes_slice.withColumn(
+                    c, F.lit(None).cast(t[c]))
+        nodes_in = nodes_slice.select(*node_cols).unionByName(
+            extra_rows.select(*node_cols))
+        e_aff_canon = e_aff.select(
+            F.concat(F.lit("e:"), F.col("entity_id"))
+            .alias("canonical_id"))
+        self.store.merge(
+            self._with_sbucket(nodes_in, col="canonical_id"), "nodes",
+            key_cols=["bucket", "canonical_id"],
+            delete_keys=self._with_sbucket(
+                K_all.unionByName(e_aff_canon).distinct(),
+                col="canonical_id"))
+
+        # ---- manifest ----
+        m = self._load_manifest()
+        m["_ingest23"].update({
+            "last_increment_at": time.time(),
+            "seconds": round(time.time() - t0, 3),
+            "read_buckets": {k: v for k, v in
+                             self.last_read_buckets.items()},
+        })
+        self._save_manifest(m)
+        return {"extract": "skipped", "link": "incremental",
+                "canonicalize": "incremental"}
+
+    # -- small helpers ----------------------------------------------------
+    @staticmethod
+    def _norm_pairs(df: DataFrame) -> DataFrame:
+        return df.distinct()
+
+    def _merge_surface_projection(self, table: str, incoming: DataFrame,
+                                  old_keys: DataFrame,
+                                  key_col: str) -> None:
+        """Group-replacement merge of a surface-layout projection keyed
+        (bucket, surface, conv): incoming rows replace the touched
+        (surface, conv) groups; ``old_keys`` evicts groups that
+        vanished from the re-imported conversations."""
+        kc = incoming.columns
+        key = key_col if key_col in kc else "norm_surface"
+        dk = self._with_sbucket(
+            old_keys.withColumnRenamed("norm_surface", key)
+            if key != "norm_surface" else old_keys, col=key)
+        self.store.merge(incoming, table,
+                         key_cols=["bucket", key, "conv_id"],
+                         delete_keys=dk)
