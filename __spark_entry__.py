@@ -990,6 +990,23 @@ def q58_png_decode(spark, sf_dir):
     return mm.decode_media(mm.media_from_documents_png(d))
 
 
+def q67_jpeg_decode(spark, sf_dir):
+    """REAL transform-coded codec through the decode plumbing: genuine
+    baseline JFIF JPEGs built from documents
+    (multimodal.media_from_documents_jpeg — grayscale, 4:4:4 color and
+    4:2:0 color with restart markers, cycling by doc_id), decoded by
+    the real marker-walk + Huffman + dequant + IDCT decoder. Uniform
+    gray pixels with flat quant=1 reconstruct bit-exactly (DC-only
+    blocks), so dimensions and decoded-pixel checksum are closed-form
+    for the oracle. n_bytes is projected AWAY: the entropy-coded
+    length depends on Huffman bit counts + byte stuffing and is not a
+    relational function of the inputs (unlike PNG's stored-deflate
+    trick)."""
+    d = _t(spark, sf_dir, "documents")
+    return mm.decode_media(mm.media_from_documents_jpeg(d)) \
+        .select("media_id", "kind", "width", "height", "checksum")
+
+
 def q50_lsh_topk_multiprobe(spark, sf_dir):
     """Multi-probe hyperplane LSH ANN (similarity.probe_buckets): each
     query probes its base bucket plus the buckets reached by flipping its
@@ -1251,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_build_nodes": q64_build_nodes,
         "q65_stratified_sample": q65_stratified_sample,
         "q66_split_contamination": q66_split_contamination,
+        "q67_jpeg_decode": q67_jpeg_decode,
     }
 
 
@@ -1725,6 +1743,21 @@ def oracle_sql() -> dict[str, str]:
                        * (1 + 3 * (1 + doc_id % 13)))::BIGINT AS n_bytes,
                    ((3 * (1 + doc_id % 13) * (1 + (doc_id * 3) % 11)
                        * (doc_id % 251)) % 2147483648)::BIGINT AS checksum
+            FROM documents
+        """,
+        # q67: the REAL JPEG decoder vs a relational reconstruction —
+        # uniform gray value v = doc_id % 251 survives the DCT round
+        # trip exactly (DC-only blocks, flat quant=1; neutral color
+        # maps to Cb=Cr=128 so BT.601 is drift-free), so checksum =
+        # channels*w*h*v with channels = 1 (even ids) or 3 (odd)
+        "q67_jpeg_decode": """
+            SELECT doc_id::BIGINT AS media_id,
+                   'image' AS kind,
+                   (8 * (1 + doc_id % 6))::INT AS width,
+                   (8 * (1 + (doc_id * 3) % 5))::INT AS height,
+                   ((CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END)
+                     * 8 * (1 + doc_id % 6) * 8 * (1 + (doc_id * 3) % 5)
+                     * (doc_id % 251) % 2147483648)::BIGINT AS checksum
             FROM documents
         """,
         "q26_simhash_near_pairs": _simhash_oracle_sql(),

