@@ -195,6 +195,38 @@ def main() -> None:
     extras["incremental_vs_full_speedup"] = round(
         timings["kg_pipeline_e2e"] / inc_dt, 2)
 
+    # incremental STAGE-2/3 maintenance (round 5): same 95/5 split, but
+    # the increment maintains linking + canonicalization state instead
+    # of re-running them over the corpus (plans/incremental.py).
+    # Bootstrap (full run + state build) is setup, untimed; the timed
+    # number is the whole increment — stage 1 + surface-slice 2/3.
+    from softcite_kb_spark.plans.incremental import (  # noqa: E402
+        IncrementalKGPipeline)
+
+    inc23_root = os.path.join(work, "inc23_store")
+    shutil.rmtree(inc23_root, ignore_errors=True)
+    inc23_store = TableStore(inc23_root)
+    inc23 = IncrementalKGPipeline(
+        spark, inc23_store,
+        PipelineConfig(blacklist=tuple(datagen.BLACKLIST), min_vote_total=1,
+                       partition_buckets=32), surface_buckets=64)
+    inc23.write_transcripts(t_all.filter(F.col("conv_id").isin(head)))
+    for n in ("authority_entities", "authority_ids"):
+        inc23_store.write(
+            spark.read.parquet(os.path.join(corpus_dir, f"{n}.parquet")), n)
+    inc23.bootstrap(resume=False)
+    t0 = time.perf_counter()
+    rep23 = inc23.ingest_increment(batch)
+    inc23_dt = time.perf_counter() - t0
+    assert rep23["link"] == "incremental"
+    extras["incremental23_ingest_sec"] = round(inc23_dt, 3)
+    extras["incremental23_vs_full_speedup"] = round(
+        timings["kg_pipeline_e2e"] / inc23_dt, 2)
+    extras["incremental23_vs_stage1only_speedup"] = round(
+        inc_dt / inc23_dt, 2)
+    extras["incremental23_read_buckets"] = {
+        t: len(b) for t, b in inc23.last_read_buckets.items()}
+
     # skew: planted hot-key join (SURVEY J4's "R" short-name case) —
     # salted vs plain shuffle join under a 10%-hot-key fact table, dim
     # forced past broadcast so join-side skew is real. Both WALL TIME and

@@ -389,12 +389,9 @@ class IncrementalKGPipeline(KGPipeline):
                          delete_keys=self._with_sbucket(
                              T.join(new_accepted_T, "norm_surface",
                                     "left_anti")))
-        cols = ["norm_surface", "entity_id"]
-        D = (old_accepted_T.select(*cols)
-             .unionByName(new_accepted_T.select(*cols))
-             .exceptAll(old_accepted_T.select(*cols)
-                        .intersect(new_accepted_T.select(*cols)))
-             .select("norm_surface").distinct())
+        D = self._changed_keys(
+            old_accepted_T.select("norm_surface", "entity_id"),
+            new_accepted_T.select("norm_surface", "entity_id"))
 
         # ---- global surface canon (O(distinct surfaces)) ----
         old_canon = mat(self.store.read(spark, "surface_canon")
@@ -405,9 +402,7 @@ class IncrementalKGPipeline(KGPipeline):
             .drop("bucket")
         new_canon = mat(self._surface_canon_from_state(
             accepted_full, stats_full))
-        C = (old_canon.unionByName(new_canon)
-             .exceptAll(old_canon.intersect(new_canon))
-             .select("norm_surface").distinct())
+        C = self._changed_keys(old_canon, new_canon)
         self.store.merge(
             self._with_sbucket(new_canon.join(
                 mat(C.unionByName(T).distinct()), "norm_surface",
@@ -597,6 +592,20 @@ class IncrementalKGPipeline(KGPipeline):
     @staticmethod
     def _norm_pairs(df: DataFrame) -> DataFrame:
         return df.distinct()
+
+    @staticmethod
+    def _changed_keys(old: DataFrame, new: DataFrame) -> DataFrame:
+        """Surfaces whose row CHANGED between two keyed frames: the true
+        symmetric difference (exceptAll both ways, then project the
+        key). NOT ``union.exceptAll(intersect)`` — under bag semantics
+        a row present on both sides appears twice in the union and is
+        subtracted only once by the intersect, so every UNCHANGED row
+        would leak into the diff and inflate the affected slice to the
+        corpus (caught by the round-5 review pass; the strengthened
+        pruning test now pins it)."""
+        return (old.exceptAll(new).select("norm_surface")
+                .unionByName(new.exceptAll(old).select("norm_surface"))
+                .distinct())
 
     def _merge_surface_projection(self, table: str, incoming: DataFrame,
                                   old_keys: DataFrame,

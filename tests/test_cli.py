@@ -141,6 +141,9 @@ def test_spark_submit_pyfiles_smoke(cli_corpus, tmp_path):
         [ln for ln in proc.stdout.splitlines()
          if ln.startswith("{")][-1])
     assert report["stages"]["canonicalize"] == "ran"
+    # the SUBMITTED master ran the job (the CLI must not override a
+    # spark-submit master with its local default)
+    assert report["master"] == "local[2]"
     # the job really produced a KB in the configured store
     meta = os.path.join(store_root, "nodes", "_meta.json")
     assert os.path.exists(meta)

@@ -97,7 +97,8 @@ def test_increment_equals_batch_and_is_pruned(spark, corpus_tables,
 
     ref = _batch_reference(spark, dfs, str(tmp_path / "ref"),
                            dfs["transcripts"])
-    st, pipe = _inc_pipeline(spark, dfs, str(tmp_path / "inc"), t_a)
+    st, pipe = _inc_pipeline(spark, dfs, str(tmp_path / "inc"), t_a,
+                             surface_buckets=256)
     report = pipe.ingest_increment(t_b)
     assert report == {"extract": "skipped", "link": "incremental",
                       "canonicalize": "incremental"}
@@ -105,10 +106,14 @@ def test_increment_equals_batch_and_is_pruned(spark, corpus_tables,
         _assert_tables_equal(spark, ref, st, t)
 
     # --- the scale claim ---
+    # with 256 surface buckets and a 20% increment the touched/affected
+    # surface set must cover well under half the buckets; a diff bug
+    # that marks UNCHANGED surfaces as affected (the union/intersect
+    # bag-semantics trap) blows straight through this bound
     nb = pipe.surface_buckets
     assert pipe.last_read_buckets, "no pruned reads recorded"
     for table, bks in pipe.last_read_buckets.items():
-        assert len(bks) < nb, (
+        assert len(bks) < nb // 2, (
             f"{table}: read {len(bks)}/{nb} buckets — not pruned")
     for t in ("folded_by_surface", "triples_by_subj", "triples_by_obj",
               "surface_stats", "accepted_links", "canonical_map",
