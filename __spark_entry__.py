@@ -1007,6 +1007,28 @@ def q67_jpeg_decode(spark, sf_dir):
         .select("media_id", "kind", "width", "height", "checksum")
 
 
+def q68_mp4_decode(spark, sf_dir):
+    """REAL container demux through the decode plumbing: genuine ISO
+    BMFF MP4s built from documents (multimodal.media_from_documents_mp4
+    — real box tree, per-sample stsz, uniform 'gry8' frames), demuxed
+    by the real box walk + tkhd + stsc/stco/stsz sample resolution.
+    The checksum sums the DEMUXED sample extents, so a wrong sample
+    table walk value-mismatches; n_bytes is closed-form because the
+    box overhead is a pinned constant (_MP4_HEADER_BYTES). Only the
+    inter-frame codec remains out of scope (sample bytes opaque)."""
+    d = _t(spark, sf_dir, "documents")
+    return mm.decode_media(mm.media_from_documents_mp4(d))
+
+
+def q69_mp4_frame_sample(spark, sf_dir):
+    """REAL frame sampling over the MP4 fixtures: every 2nd frame's
+    index, byte size and checksum come from the container's resolved
+    sample table — one row per actual sample extent, reconstructed
+    relationally by the oracle (frame i is uniform (doc_id+i)%251)."""
+    d = _t(spark, sf_dir, "documents")
+    return mm.frame_sample(mm.media_from_documents_mp4(d), every_n=2)
+
+
 def q50_lsh_topk_multiprobe(spark, sf_dir):
     """Multi-probe hyperplane LSH ANN (similarity.probe_buckets): each
     query probes its base bucket plus the buckets reached by flipping its
@@ -1269,6 +1291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_stratified_sample": q65_stratified_sample,
         "q66_split_contamination": q66_split_contamination,
         "q67_jpeg_decode": q67_jpeg_decode,
+        "q68_mp4_decode": q68_mp4_decode,
+        "q69_mp4_frame_sample": q69_mp4_frame_sample,
     }
 
 
@@ -1759,6 +1783,46 @@ def oracle_sql() -> dict[str, str]:
                      * 8 * (1 + doc_id % 6) * 8 * (1 + (doc_id * 3) % 5)
                      * (doc_id % 251) % 2147483648)::BIGINT AS checksum
             FROM documents
+        """,
+        # q68: the REAL MP4 demuxer vs a relational reconstruction —
+        # w = 4*(1+id%5), h = 4*(1+3id%7), n = 1+id%6, frame i uniform
+        # (id+i)%251; sum_i((v+i)%251) closed form with one wraparound
+        # correction (n <= 6 so at most one wrap past 250); n_bytes =
+        # _MP4_HEADER_BYTES(599) + n*(w*h + 4)
+        "q68_mp4_decode": """
+            WITH p AS (
+              SELECT doc_id, 4 * (1 + doc_id % 5) AS w,
+                     4 * (1 + (doc_id * 3) % 7) AS h,
+                     (1 + doc_id % 6) AS n, doc_id % 251 AS v
+              FROM documents
+            )
+            SELECT doc_id::BIGINT AS media_id,
+                   'video' AS kind, w::INT AS width, h::INT AS height,
+                   (599 + n * (w * h + 4))::BIGINT AS n_bytes,
+                   ((w * h * (n * v + n * (n - 1) / 2
+                       - 251 * greatest(v + n - 251, 0)))
+                     % 2147483648)::BIGINT AS checksum
+            FROM p
+        """,
+        # q69: real per-frame sampling (every_n=2) — one row per actual
+        # sample extent; frame_bytes = w*h, frame i checksum =
+        # w*h*((v+i)%251)
+        "q69_mp4_frame_sample": """
+            WITH p AS (
+              SELECT doc_id, 4 * (1 + doc_id % 5) AS w,
+                     4 * (1 + (doc_id * 3) % 7) AS h,
+                     (1 + doc_id % 6) AS n, doc_id % 251 AS v
+              FROM documents
+            ), f AS (
+              SELECT doc_id, w, h, n, v,
+                     unnest(range(0, n, 2)) AS i
+              FROM p
+            )
+            SELECT doc_id::BIGINT AS media_id, i::INT AS frame_idx,
+                   n::INT AS n_frames, (w * h)::BIGINT AS frame_bytes,
+                   ((w * h * ((v + i) % 251))
+                     % 2147483648)::BIGINT AS frame_checksum
+            FROM f
         """,
         "q26_simhash_near_pairs": _simhash_oracle_sql(),
         "q28_lsh_topk": _hyperplane_oracle_sql(),

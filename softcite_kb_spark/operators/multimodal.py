@@ -25,11 +25,17 @@ payload magic:
   * **WAV** (RIFF PCM) — a REAL decoder: chunk walk to ``fmt `` +
     ``data``, frames = data bytes / block align; width/height carry
     (n_frames, n_channels) for audio.
-  * **SKBM** — the synthetic stub format for kinds whose codecs are NOT
-    in this container (MP4/video needs ffmpeg): 16-byte header
-    ``SKBM`` + kind byte + 3 reserved + width uint32 + height uint32 +
-    body. Header parse only — clearly a stand-in, kept so the video
-    frame-sample plumbing stays exercised.
+  * **MP4 / ISO BMFF** (ISO/IEC 14496-12) — a REAL container demuxer:
+    box walk (largesize/to-eof handling), first ``vide``-handler track,
+    tkhd dimensions, full stsc/stco/stsz chunk-to-sample resolution
+    with bounds checks; checksum is over the DEMUXED sample bytes and
+    ``frame_sample`` emits real per-frame offsets/sizes. Only the
+    inter-frame CODEC (H.264-class) stays out of scope — sample
+    payloads are opaque bytes; fixtures use a private uncompressed
+    ``gry8`` fourcc so theirs are relationally checkable.
+  * **SKBM** — legacy synthetic stub: 16-byte header ``SKBM`` + kind
+    byte + 3 reserved + width uint32 + height uint32 + body. Header
+    parse only — kept as the non-container poison-tolerance fixture.
 
 Everything Spark-side — schema, batching, partitioning, UDF signatures,
 poison-payload tolerance — is identical across real and stub formats.
@@ -1049,10 +1055,256 @@ def _decode_wav(payload: bytes) -> tuple[str, int, int, int]:
     return "audio", n_frames, n_channels, sum(data) % (2**31)
 
 
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF (ISO/IEC 14496-12) — REAL container demux, codec-free.
+#
+# The box grammar, sample tables (stsd/stts/stsc/stsz/stco) and track
+# headers are parsed for real: dimensions come from tkhd, the frame
+# count from stts, and the checksum is computed over the DEMUXED sample
+# payloads located through the chunk-offset/sample-size tables — not
+# over the raw file tail — so a wrong stsc/stco walk shows up as a
+# value mismatch. What stays out of scope is the inter-frame CODEC
+# (H.264 etc. needs ffmpeg-class code): sample payloads are opaque
+# bytes. Fixtures use a private uncompressed fourcc ('gry8', one byte
+# per pixel) so their sample bytes are bit-checkable relationally.
+# Reference analog: media handling is out of the reference's scope
+# entirely; this is part of the LLM-training-data brief.
+# ---------------------------------------------------------------------------
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf"}
+
+
+def _mp4_boxes(buf: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, box_end) for each box in [start, end).
+    Handles 64-bit largesize (size==1) and to-end-of-file (size==0);
+    rejects truncated or out-of-bounds boxes — poison containers must
+    fail the decode, not wrap around."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated box header")
+        size, btype = struct.unpack_from(">I4s", buf, pos)
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize")
+            size = struct.unpack_from(">Q", buf, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("box size out of bounds")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _mp4_children(buf: bytes, start: int, end: int) -> dict:
+    """First child of each fourcc within a container body."""
+    out: dict = {}
+    for btype, b, e in _mp4_boxes(buf, start, end):
+        out.setdefault(btype, (b, e))
+    return out
+
+
+def _mp4_u32s(buf: bytes, pos: int, n: int, end: int) -> list:
+    if pos + 4 * n > end:
+        raise ValueError("truncated table")
+    return list(struct.unpack_from(f">{n}I", buf, pos))
+
+
+def _mp4_video_track(payload: bytes):
+    """Locate the first video ('vide' handler) track and resolve its
+    sample table. Returns (width, height, [(offset, size), ...]).
+    Every offset/size is bounds-checked against the payload."""
+    top = _mp4_children(payload, 0, len(payload))
+    if b"moov" not in top:
+        raise ValueError("no moov box")
+    moov_b, moov_e = top[b"moov"]
+    for btype, tb, te in _mp4_boxes(payload, moov_b, moov_e):
+        if btype != b"trak":
+            continue
+        trak = _mp4_children(payload, tb, te)
+        if b"tkhd" not in trak or b"mdia" not in trak:
+            continue
+        mdia = _mp4_children(payload, *trak[b"mdia"])
+        hb, he = mdia.get(b"hdlr", (0, 0))
+        if he - hb < 12 or payload[hb + 8:hb + 12] != b"vide":
+            continue
+        # tkhd: width/height are the LAST two 16.16 fixed-point fields
+        kb, ke = trak[b"tkhd"]
+        if ke - kb < 12:
+            raise ValueError("truncated tkhd")
+        w = struct.unpack_from(">I", payload, ke - 8)[0] >> 16
+        h = struct.unpack_from(">I", payload, ke - 4)[0] >> 16
+        if w >= 2**31 or h >= 2**31:
+            raise ValueError(f"dimension out of int32 range: {w}x{h}")
+        minf = _mp4_children(payload, *mdia[b"minf"])
+        if b"stbl" not in minf:
+            raise ValueError("no stbl box")
+        stbl = _mp4_children(payload, *minf[b"stbl"])
+        for req in (b"stsz", b"stsc", b"stco"):
+            if req not in stbl:
+                raise ValueError(f"missing {req.decode()} box")
+        zb, ze = stbl[b"stsz"]
+        fixed, n_samples = struct.unpack_from(">II", payload, zb + 4)
+        if n_samples > (len(payload) >> 2):
+            raise ValueError("stsz sample count exceeds payload")
+        sizes = ([fixed] * n_samples if fixed
+                 else _mp4_u32s(payload, zb + 12, n_samples, ze))
+        cb, ce = stbl[b"stsc"]
+        n_stsc = struct.unpack_from(">I", payload, cb + 4)[0]
+        stsc = [tuple(_mp4_u32s(payload, cb + 8 + 12 * i, 3, ce))
+                for i in range(n_stsc)]
+        ob, oe = stbl[b"stco"]
+        n_stco = struct.unpack_from(">I", payload, ob + 4)[0]
+        stco = _mp4_u32s(payload, ob + 8, n_stco, oe)
+        # chunk walk: stsc entry i covers chunks [first_i, first_{i+1})
+        samples: list = []
+        for i, (first, per_chunk, _sdi) in enumerate(stsc):
+            last = (stsc[i + 1][0] - 1 if i + 1 < len(stsc)
+                    else len(stco))
+            if first < 1 or first > last + 1:
+                raise ValueError("stsc chunk range invalid")
+            for chunk in range(first, last + 1):
+                off = stco[chunk - 1]
+                for _ in range(per_chunk):
+                    if len(samples) >= n_samples:
+                        break
+                    size = sizes[len(samples)]
+                    if off + size > len(payload):
+                        raise ValueError("sample beyond payload end")
+                    samples.append((off, size))
+                    off += size
+        if len(samples) != n_samples:
+            raise ValueError("sample table does not cover stsz count")
+        return w, h, samples
+    raise ValueError("no video track")
+
+
+def _decode_mp4(payload: bytes) -> tuple[str, int, int, int]:
+    """Real ISO BMFF demux: (width, height) from tkhd, checksum over
+    the demuxed sample bytes (located via stsc/stco/stsz — NOT the file
+    tail, so the sample-table walk is what the oracle value-checks)."""
+    w, h, samples = _mp4_video_track(payload)
+    cs = 0
+    for off, size in samples:
+        cs += sum(payload[off:off + size])
+    return "video", w, h, cs % (2**31)
+
+
+def _mp4_box(fourcc: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+
+def _mp4_full(fourcc: bytes, version: int, flags: int,
+              body: bytes) -> bytes:
+    return _mp4_box(fourcc, struct.pack(">B3s", version,
+                                        flags.to_bytes(3, "big")) + body)
+
+
+def encode_mp4(frames: list, width: int, height: int,
+               timescale: int = 10) -> bytes:
+    """Encode opaque per-frame payloads as a minimal valid ISO BMFF
+    file (ftyp + mdat + moov with a single 'vide' track, one chunk,
+    per-sample stsz, private uncompressed fourcc 'gry8') — the
+    fixture/test encoder for the real demuxer. File length is
+    closed-form: len == _MP4_HEADER_BYTES + sum(len(f)) + 4*n_frames
+    (pinned by a test; the oracle uses it)."""
+    n = len(frames)
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512)
+                    + b"isom" + b"iso2")
+    mdat = _mp4_box(b"mdat", b"".join(frames))
+    data_off = len(ftyp) + 8  # first sample starts after the mdat header
+    dur = n  # one timescale unit per frame
+    mvhd = _mp4_full(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, timescale, dur)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                      0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = _mp4_full(b"tkhd", 0, 3, struct.pack(
+        ">IIIII", 0, 0, 1, 0, dur)
+        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                      0x40000000)
+        + struct.pack(">II", width << 16, height << 16))
+    mdhd = _mp4_full(b"mdhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, timescale, dur) + struct.pack(">HH", 0x55C4, 0))
+    hdlr = _mp4_full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide"
+                     + b"\x00" * 12 + b"VideoHandler\x00")
+    vmhd = _mp4_full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _mp4_full(b"dref", 0, 0, struct.pack(">I", 1)
+                     + _mp4_full(b"url ", 0, 1, b""))
+    dinf = _mp4_box(b"dinf", dref)
+    entry = (struct.pack(">6xH", 1)  # reserved + data_ref_index
+             + struct.pack(">HH", 0, 0) + b"\x00" * 12
+             + struct.pack(">HH", width, height)
+             + struct.pack(">II", 0x00480000, 0x00480000)
+             + struct.pack(">I", 0) + struct.pack(">H", 1)
+             + b"\x00" * 32 + struct.pack(">Hh", 24, -1))
+    stsd = _mp4_full(b"stsd", 0, 0, struct.pack(">I", 1)
+                     + _mp4_box(b"gry8", entry))
+    stts = _mp4_full(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stsc = _mp4_full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _mp4_full(b"stsz", 0, 0, struct.pack(
+        ">II", 0, n) + b"".join(struct.pack(">I", len(f))
+                                for f in frames))
+    stco = _mp4_full(b"stco", 0, 0, struct.pack(">II", 1, data_off))
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+#: closed-form fixed overhead of encode_mp4 output (everything except
+#: sample bytes and the 4-byte-per-sample stsz table) — pinned by a test
+_MP4_HEADER_BYTES = 24 + 8 + 8 + 108 + 8 + 92 + 8 + 32 + 45 + 8 + 20 \
+    + 36 + 8 + 102 + 24 + 28 + 20 + 20
+
+
+def media_from_documents_mp4(docs: DataFrame) -> DataFrame:
+    """REAL-container video fixtures: each doc becomes a genuine ISO
+    BMFF MP4 (real box tree + sample tables; private uncompressed
+    'gry8' frames) whose fields are modular functions of doc_id —
+
+        w = 4 * (1 + doc_id % 5);  h = 4 * (1 + (doc_id * 3) % 7)
+        n_frames = 1 + doc_id % 6
+        frame i  = uniform byte value (doc_id + i) % 251
+        checksum = sum_i(w * h * ((doc_id + i) % 251)) mod 2^31
+        n_bytes  = _MP4_HEADER_BYTES + n_frames * (w*h + 4)
+
+    so the SQL oracle value-checks the real demux path (box walk, tkhd
+    dimensions, stsc/stco/stsz sample resolution)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 4 * (1 + did % 5)
+                h = 4 * (1 + (did * 3) % 7)
+                n = 1 + did % 6
+                frames = [bytes([(did + i) % 251]) * (w * h)
+                          for i in range(n)]
+                rows["media_id"].append(did)
+                rows["kind"].append("video")
+                rows["payload"].append(encode_mp4(frames, w, h))
+                rows["meta"].append(
+                    {"declared_width": w, "declared_height": h})
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(build, schema=MEDIA_SCHEMA)
+
+
 def _decode_skbm(payload: bytes) -> tuple[str, int, int, int]:
-    """STUB header parse for the synthetic SKBM format (stands in for
-    the one codec family not implementable at honest stdlib scope —
-    MP4/video demuxing; BMP/PNG/JPEG/WAV all have real decoders)."""
+    """STUB header parse for the synthetic SKBM format. With the MP4
+    demuxer real, the remaining stand-in scope is the inter-frame video
+    CODEC only (H.264-class decode needs ffmpeg): SKBM is kept as the
+    legacy opaque-payload fixture so poison-tolerance tests cover a
+    non-container format too."""
     kind = KINDS.get(payload[4])
     if kind is None:
         raise ValueError(f"unknown kind byte {payload[4]}")
@@ -1079,6 +1331,8 @@ def _decode_bytes(payload: bytes) -> tuple[str, int, int, int]:
         return _decode_jpeg(payload)
     if payload[:4] == b"RIFF":
         return _decode_wav(payload)
+    if payload[4:8] == b"ftyp":
+        return _decode_mp4(payload)
     if payload[:4] == MAGIC:
         return _decode_skbm(payload)
     raise ValueError("unknown payload magic")
@@ -1177,16 +1431,60 @@ def resize_media(df: DataFrame, target: tuple[int, int] = (32, 32)) -> DataFrame
         kernel, schema=RESIZED_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("frame_bytes", T.LongType()),
+    T.StructField("frame_checksum", T.LongType()),
+])
+
+
 def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: emits (media_id,
-    frame_idx) rows for sampled frames. Frame count is derived
-    deterministically from the payload length (stub for real demuxing)."""
-    frames = (
-        decode_media(df.filter(F.col("kind") == "video"))
-        .withColumn("n_frames", (F.col("n_bytes") / 16).cast("int"))
-        .withColumn(
-            "frame_idx",
-            F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1,
-                                 F.lit(every_n))))
-    )
-    return frames.select("media_id", "frame_idx", "n_frames")
+    """Frame sampling for video payloads: emits one row per sampled
+    frame. For MP4 this is REAL demuxing — frame count, per-frame byte
+    size and per-frame checksum come from the resolved stsc/stco/stsz
+    sample table, so every emitted row corresponds to an actual sample
+    extent in the container. Legacy SKBM stubs keep the
+    length-heuristic frame count with NULL frame_bytes/checksum.
+    Malformed payloads are dropped — same poison tolerance as
+    decode_media."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "n_frames": [],
+                   "frame_bytes": [], "frame_checksum": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    b = bytes(payload) if payload is not None else None
+                    if b is None or len(b) < 16:
+                        raise ValueError("payload too short")
+                    if b[4:8] == b"ftyp":
+                        _w, _h, samples = _mp4_video_track(b)
+                        n = len(samples)
+                        rows = [(i, samples[i][1],
+                                 sum(b[samples[i][0]:
+                                       samples[i][0] + samples[i][1]])
+                                 % (2**31))
+                                for i in range(0, n, every_n)]
+                    elif b[:4] == MAGIC and KINDS.get(b[4]) == "video":
+                        n = len(b) // 16
+                        rows = [(i, None, None)
+                                for i in range(0, n, every_n)]
+                    else:
+                        continue  # not a video payload
+                except (ValueError, TypeError):
+                    continue
+                for idx, fb, fc in rows:
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["n_frames"].append(n)
+                    out["frame_bytes"].append(fb)
+                    out["frame_checksum"].append(fc)
+            yield pd.DataFrame(out)
+
+    return df.filter(F.col("kind") == "video") \
+        .select("media_id", "payload").mapInPandas(
+            kernel, schema=FRAME_SCHEMA)

@@ -121,32 +121,52 @@ class IncrementalKGPipeline(KGPipeline):
         return self.materializer or local_checkpoint_materializer
 
     def _with_sbucket(self, df: DataFrame, col: str = "norm_surface",
-                      name: str = "bucket") -> DataFrame:
+                      name: str = "bucket",
+                      shuffle: bool = True) -> DataFrame:
+        """Add the surface-bucket column; ``shuffle=True`` (the default,
+        for frames being WRITTEN) also repartitions by it so a
+        partitioned commit emits O(buckets) files instead of
+        O(input partitions x buckets). Delete-key frames are never
+        written — only their key columns feed the merge's partition
+        probe — so they pass ``shuffle=False`` and skip the exchange."""
         n = self.surface_buckets
-        return df.withColumn(name, _sbucket(F.col(col), n)) \
-            .repartition(n, F.col(name))
+        out = df.withColumn(name, _sbucket(F.col(col), n))
+        return out.repartition(n, F.col(name)) if shuffle else out
+
+    def _bucket_list(self, surfaces: DataFrame,
+                     col: str = "norm_surface") -> list:
+        """Distinct surface-bucket list of a (small) surface frame —
+        one collect, bounded by ``surface_buckets``. Callers reading
+        several tables pruned by the SAME frame compute this once and
+        pass it to ``_pruned_read`` to avoid re-collecting."""
+        return sorted(r[0] for r in surfaces.select(
+            _sbucket(F.col(col), self.surface_buckets).alias("b"))
+            .distinct().collect())
 
     def _pruned_read(self, table: str, surfaces: DataFrame,
-                     col: str = "norm_surface") -> DataFrame:
+                     col: str = "norm_surface",
+                     buckets: list | None = None) -> DataFrame:
         """Read ``table`` restricted to the partitions holding the given
         surfaces — the bucket list is collected (bounded by
         ``surface_buckets``), recorded for observability, and pushed
         down as a partition filter."""
-        bks = sorted(r[0] for r in surfaces.select(
-            _sbucket(F.col(col), self.surface_buckets).alias("b"))
-            .distinct().collect())
+        bks = (self._bucket_list(surfaces, col)
+               if buckets is None else buckets)
         self.last_read_buckets.setdefault(table, [])
         self.last_read_buckets[table] = sorted(
             set(self.last_read_buckets[table]) | set(bks))
         df = self.store.read(self.spark, table)
         return df.filter(F.col("bucket").isin(bks))
 
-    def _conv_pruned(self, table: str, conv_keys: DataFrame) -> DataFrame:
+    def _conv_pruned(self, table: str, conv_keys: DataFrame,
+                     buckets: list | None = None) -> DataFrame:
         """Conv-bucket-pruned read of a stage-1 table, semi-joined to
-        the given conversations."""
+        the given conversations. ``buckets`` short-circuits the bucket
+        collect when the caller already probed the same key frame."""
         n = self.config.partition_buckets
-        bks = sorted(r[0] for r in conv_keys.select(
-            F.pmod(F.xxhash64("conv_id"), F.lit(n)).alias("b"))
+        bks = buckets if buckets is not None else sorted(
+            r[0] for r in conv_keys.select(
+                F.pmod(F.xxhash64("conv_id"), F.lit(n)).alias("b"))
             .distinct().collect())
         df = self.store.read(self.spark, table)
         df = df.filter(F.col("bucket").isin(bks))
@@ -325,13 +345,19 @@ class IncrementalKGPipeline(KGPipeline):
         mat = self._mat()
         spark = self.spark
         batch_keys = mat(new_transcripts.select("conv_id").distinct())
+        # one conv-bucket probe serves all four stage-1 pruned reads
+        nconv = self.config.partition_buckets
+        conv_bks = sorted(r[0] for r in batch_keys.select(
+            F.pmod(F.xxhash64("conv_id"), F.lit(nconv)).alias("b"))
+            .distinct().collect())
 
         # ---- capture the OLD touched slice BEFORE stage-1 commits ----
         old_folded_pairs = mat(self._norm_pairs(
-            self._conv_pruned("folded_mentions", batch_keys)
+            self._conv_pruned("folded_mentions", batch_keys,
+                              buckets=conv_bks)
             .select("norm_surface", "conv_id")))
         old_triples = mat(
-            self._conv_pruned("triples", batch_keys)
+            self._conv_pruned("triples", batch_keys, buckets=conv_bks)
             .select("conv_id", "turn_idx", "subj", "pred", "obj"))
 
         # ---- stage 1 (conv-layout, inherited) ----
@@ -339,10 +365,12 @@ class IncrementalKGPipeline(KGPipeline):
 
         # ---- maintain the surface-layout projections ----
         new_slice = mat(
-            self._conv_pruned("folded_mentions", batch_keys)
+            self._conv_pruned("folded_mentions", batch_keys,
+                              buckets=conv_bks)
             .drop("bucket"))
         new_triples = mat(
-            self._conv_pruned("triples", batch_keys).drop("bucket"))
+            self._conv_pruned("triples", batch_keys,
+                              buckets=conv_bks).drop("bucket"))
         self._merge_surface_projection(
             "folded_by_surface", self._with_sbucket(new_slice),
             old_keys=old_folded_pairs, key_col="norm_surface")
@@ -368,18 +396,22 @@ class IncrementalKGPipeline(KGPipeline):
             .distinct())
 
         # ---- stage-2 decisions for T only ----
+        t_bks = self._bucket_list(T)
         new_stats_T = mat(self._stats_for(
-            self._pruned_read("folded_by_surface", T)
+            self._pruned_read("folded_by_surface", T, buckets=t_bks)
             .join(T, "norm_surface", "left_semi")))
         vanished_T = T.join(new_stats_T, "norm_surface", "left_anti")
         self.store.merge(self._with_sbucket(new_stats_T),
                          "surface_stats",
                          key_cols=["bucket", "norm_surface"],
-                         delete_keys=self._with_sbucket(vanished_T))
-        old_accepted_T = mat(self._pruned_read("accepted_links", T)
+                         delete_keys=self._with_sbucket(vanished_T,
+                                                        shuffle=False))
+        old_accepted_T = mat(self._pruned_read("accepted_links", T,
+                                               buckets=t_bks)
                              .join(T, "norm_surface", "left_semi")
                              .drop("bucket"))
-        triples_T = (self._pruned_read("triples_by_subj", T)
+        triples_T = (self._pruned_read("triples_by_subj", T,
+                                       buckets=t_bks)
                      .join(T, "norm_surface", "left_semi")
                      .drop("bucket", "norm_surface"))
         new_accepted_T = mat(self._accepted_for(new_stats_T, triples_T))
@@ -388,7 +420,7 @@ class IncrementalKGPipeline(KGPipeline):
                          key_cols=["bucket", "norm_surface"],
                          delete_keys=self._with_sbucket(
                              T.join(new_accepted_T, "norm_surface",
-                                    "left_anti")))
+                                    "left_anti"), shuffle=False))
         D = self._changed_keys(
             old_accepted_T.select("norm_surface", "entity_id"),
             new_accepted_T.select("norm_surface", "entity_id"))
@@ -410,7 +442,8 @@ class IncrementalKGPipeline(KGPipeline):
             "surface_canon", key_cols=["bucket", "norm_surface"],
             delete_keys=self._with_sbucket(
                 old_canon.select("norm_surface")
-                .join(new_canon, "norm_surface", "left_anti")))
+                .join(new_canon, "norm_surface", "left_anti"),
+                shuffle=False))
 
         # ---- affected canonicals K and the surface closure S* ----
         A = mat(T.unionByName(D).unionByName(C).distinct())
@@ -437,11 +470,13 @@ class IncrementalKGPipeline(KGPipeline):
         K_all = mat(K.unionByName(K_slice).distinct())
 
         # ---- slice inputs ----
+        s_bks = self._bucket_list(S_star)
         folded_slice = mat(
-            self._pruned_read("folded_by_surface", S_star)
+            self._pruned_read("folded_by_surface", S_star,
+                              buckets=s_bks)
             .join(S_star, "norm_surface", "left_semi").drop("bucket"))
         triples_slice = mat(
-            self._pruned_read("triples_by_subj", S_star)
+            self._pruned_read("triples_by_subj", S_star, buckets=s_bks)
             .join(S_star, "norm_surface", "left_semi")
             .drop("bucket", "norm_surface"))
         accepted_now = self.store.read(spark, "accepted_links") \
@@ -456,12 +491,14 @@ class IncrementalKGPipeline(KGPipeline):
                 canon_slice.join(tc, "norm_surface", "left_semi")),
             "canonical_map", key_cols=["bucket", "norm_surface"],
             delete_keys=self._with_sbucket(
-                tc.join(canon_slice, "norm_surface", "left_anti")))
+                tc.join(canon_slice, "norm_surface", "left_anti"),
+                shuffle=False))
 
         # ---- statements / nodes / edges slices via batch operators ----
         auth = self.store.read(spark, "authority_entities")
         bc = self._broadcast_decision(auth)
-        k_del = self._with_sbucket(K_all, col="canonical_id")
+        k_del = self._with_sbucket(K_all, col="canonical_id",
+                                   shuffle=False)
 
         stmts = cz.fold_statements(triples_slice, canon_slice,
                                    source=self.config.source_name)
@@ -494,7 +531,7 @@ class IncrementalKGPipeline(KGPipeline):
                          delete_keys=self._with_sbucket(
                              K_all.withColumnRenamed(
                                  "canonical_id", "src_id"),
-                             col="src_id"))
+                             col="src_id", shuffle=False))
 
         # ---- auth refcounts + authority-extra node rows ----
         def _ref_counts(e):
@@ -574,7 +611,7 @@ class IncrementalKGPipeline(KGPipeline):
             key_cols=["bucket", "canonical_id"],
             delete_keys=self._with_sbucket(
                 K_all.unionByName(e_aff_canon).distinct(),
-                col="canonical_id"))
+                col="canonical_id", shuffle=False))
 
         # ---- manifest ----
         m = self._load_manifest()
@@ -618,7 +655,8 @@ class IncrementalKGPipeline(KGPipeline):
         key = key_col if key_col in kc else "norm_surface"
         dk = self._with_sbucket(
             old_keys.withColumnRenamed("norm_surface", key)
-            if key != "norm_surface" else old_keys, col=key)
+            if key != "norm_surface" else old_keys, col=key,
+            shuffle=False)
         self.store.merge(incoming, table,
                          key_cols=["bucket", key, "conv_id"],
                          delete_keys=dk)

@@ -862,3 +862,147 @@ def test_cross_split_contamination(spark):
     # doc 4 is an exact copy: every gram leaks
     assert got[4][0] == 7 and got[4] == (7, 7, 1.0)
     assert got[5] == (0, 0, 0.0)
+
+
+def test_mp4_roundtrip_demux(spark):
+    """encode_mp4 -> real ISO BMFF demux: tkhd dimensions, per-sample
+    stsz resolution, checksum over the demuxed sample extents (varying
+    per-frame sizes so the fixed-size shortcut cannot fake it)."""
+    frames = [bytes([i + 1]) * (10 + 7 * i) for i in range(5)]
+    payload = multimodal.encode_mp4(frames, 32, 18)
+    assert len(payload) == (multimodal._MP4_HEADER_BYTES
+                            + sum(len(f) for f in frames) + 4 * 5)
+    df = spark.createDataFrame(pd.DataFrame(
+        [(1, "video", bytearray(payload),
+          {"declared_width": 32, "declared_height": 18})],
+        columns=["media_id", "kind", "payload", "meta"]),
+        schema=multimodal.MEDIA_SCHEMA)
+    got = multimodal.decode_media(df).collect()[0]
+    assert (got.kind, got.width, got.height) == ("video", 32, 18)
+    assert got.checksum == sum(sum(f) for f in frames) % (2**31)
+
+
+def test_mp4_multichunk_and_fixed_stsz(spark):
+    """The chunk walk handles multi-chunk stco with an stsc entry whose
+    range extends to the last chunk, and the fixed-sample-size stsz
+    form — a hand-built container, not encode_mp4's single-chunk
+    shape."""
+    import struct as st
+
+    fsz, n = 24, 4
+    frames = [bytes([40 + i]) * fsz for i in range(n)]
+    box, full = multimodal._mp4_box, multimodal._mp4_full
+    ftyp = box(b"ftyp", b"isom" + st.pack(">I", 512) + b"isomiso2")
+    mdat = box(b"mdat", b"".join(frames))
+    off0 = len(ftyp) + 8
+    off1 = off0 + 2 * fsz
+    tkhd = full(b"tkhd", 0, 3, st.pack(">IIIII", 0, 0, 1, 0, n)
+                + b"\x00" * 8 + st.pack(">HHHH", 0, 0, 0, 0)
+                + st.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                          0x40000000)
+                + st.pack(">II", 12 << 16, 8 << 16))
+    hdlr = full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12
+                + b"V\x00")
+    stsz = full(b"stsz", 0, 0, st.pack(">II", fsz, n))  # fixed size
+    stsc = full(b"stsc", 0, 0, st.pack(">IIII", 1, 1, 2, 1))
+    stco = full(b"stco", 0, 0, st.pack(">III", 2, off0, off1))
+    stbl = box(b"stbl", stsz + stsc + stco)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", trak)
+    payload = ftyp + mdat + moov
+    kind, w, h, cs = multimodal._decode_bytes(payload)
+    assert (kind, w, h) == ("video", 12, 8)
+    assert cs == sum(sum(f) for f in frames) % (2**31)
+    samples = multimodal._mp4_video_track(payload)[2]
+    assert samples == [(off0, fsz), (off0 + fsz, fsz),
+                       (off1, fsz), (off1 + fsz, fsz)]
+
+
+def test_mp4_poison_payloads_dropped(spark):
+    """Truncation, out-of-bounds sample offsets, stsz count bombs,
+    audio-only tracks — all rejected by the demuxer and DROPPED by
+    decode_media (poison rows never kill the stage)."""
+    import struct as st
+
+    frames = [bytes([9]) * 30 for _ in range(3)]
+    good = multimodal.encode_mp4(frames, 10, 3)
+
+    stco_oob = bytearray(good)
+    j = good.index(b"stco")
+    stco_oob[j + 12:j + 16] = st.pack(">I", len(good))
+    stsz_bomb = bytearray(good)
+    k = good.index(b"stsz")
+    stsz_bomb[k + 12:k + 16] = st.pack(">I", 2**30)  # sample count
+    soun = bytearray(good)
+    soun[good.index(b"vide"):good.index(b"vide") + 4] = b"soun"
+    bad = [good[:40], good[:-10], bytes(stco_oob), bytes(stsz_bomb),
+           bytes(soun)]
+    rows = [(i, "video", bytearray(p), {"declared_width": 10,
+                                        "declared_height": 3})
+            for i, p in enumerate([good] + bad)]
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload",
+                                      "meta"])
+    df = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+    out = multimodal.decode_media(df).collect()
+    assert [r.media_id for r in out] == [0]
+    assert (out[0].width, out[0].height) == (10, 3)
+    assert multimodal.decode_media(df, drop_malformed=False).count() \
+        == len(rows)
+
+
+def test_mp4_frame_sample_real(spark):
+    """frame_sample on MP4 emits one row per sampled REAL sample extent
+    (index, byte size, checksum from the container's sample table);
+    legacy SKBM videos keep the heuristic count with NULL extents, and
+    poison payloads are dropped."""
+    frames = [bytes([i]) * (8 + i) for i in range(5)]
+    mp4 = multimodal.encode_mp4(frames, 4, 2)
+    skbm = (multimodal.MAGIC + bytes([2, 0, 0, 0])
+            + bytes(8) + b"\x00" * 48)  # 64 bytes -> 4 heuristic frames
+    rows = [(1, "video", bytearray(mp4), {"declared_width": 4,
+                                          "declared_height": 2}),
+            (2, "video", bytearray(skbm), {"declared_width": 0,
+                                           "declared_height": 0}),
+            (3, "video", bytearray(b"garbage-payload!"),
+             {"declared_width": 0, "declared_height": 0}),
+            (4, "image", bytearray(mp4), {"declared_width": 4,
+                                          "declared_height": 2})]
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload",
+                                      "meta"])
+    df = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+    got = multimodal.frame_sample(df, every_n=2).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r.media_id, []).append(r)
+    m = sorted(by_id[1], key=lambda r: r.frame_idx)
+    assert [(r.frame_idx, r.n_frames, r.frame_bytes, r.frame_checksum)
+            for r in m] == [
+        (i, 5, len(frames[i]), sum(frames[i]) % (2**31))
+        for i in (0, 2, 4)]
+    s = sorted(by_id[2], key=lambda r: r.frame_idx)
+    assert [(r.frame_idx, r.n_frames) for r in s] == [(0, 4), (2, 4)]
+    assert all(r.frame_bytes is None and r.frame_checksum is None
+               for r in s)
+    assert 3 not in by_id and 4 not in by_id  # poison + kind filter
+
+
+def test_mp4_fixture_closed_form(spark):
+    """media_from_documents_mp4's demuxed fields match the q68 oracle's
+    closed forms for every doc (incl. the frame-value wraparound past
+    byte 250)."""
+    ids = list(range(40)) + [246 + i for i in range(10)] + [1255]
+    docs = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": ids, "text": ["x"] * len(ids)}))
+    out = multimodal.decode_media(
+        multimodal.media_from_documents_mp4(docs)).collect()
+    assert len(out) == len(ids)
+    for r in out:
+        did = r.media_id
+        w, h = 4 * (1 + did % 5), 4 * (1 + (did * 3) % 7)
+        n, v = 1 + did % 6, did % 251
+        assert (r.kind, r.width, r.height) == ("video", w, h)
+        assert r.n_bytes == multimodal._MP4_HEADER_BYTES + n * (w * h + 4)
+        want = sum(w * h * ((v + i) % 251) for i in range(n)) % (2**31)
+        assert r.checksum == want
