@@ -1115,7 +1115,18 @@ def _mp4_u32s(buf: bytes, pos: int, n: int, end: int) -> list:
 def _mp4_video_track(payload: bytes):
     """Locate the first video ('vide' handler) track and resolve its
     sample table. Returns (width, height, [(offset, size), ...]).
-    Every offset/size is bounds-checked against the payload."""
+    Every offset/size is bounds-checked against the payload, and every
+    malformed-structure path raises ValueError (the codec-binding
+    convention decode_media's poison tolerance catches) — the explicit
+    guards below plus a belt-and-braces rewrap of struct/index/key
+    errors so no crafted container can escape with a non-ValueError."""
+    try:
+        return _mp4_video_track_inner(payload)
+    except (struct.error, IndexError, KeyError) as exc:
+        raise ValueError(f"malformed MP4 structure: {exc!r}") from exc
+
+
+def _mp4_video_track_inner(payload: bytes):
     top = _mp4_children(payload, 0, len(payload))
     if b"moov" not in top:
         raise ValueError("no moov box")
@@ -1138,6 +1149,8 @@ def _mp4_video_track(payload: bytes):
         h = struct.unpack_from(">I", payload, ke - 4)[0] >> 16
         if w >= 2**31 or h >= 2**31:
             raise ValueError(f"dimension out of int32 range: {w}x{h}")
+        if b"minf" not in mdia:
+            raise ValueError("no minf box")
         minf = _mp4_children(payload, *mdia[b"minf"])
         if b"stbl" not in minf:
             raise ValueError("no stbl box")
@@ -1146,16 +1159,29 @@ def _mp4_video_track(payload: bytes):
             if req not in stbl:
                 raise ValueError(f"missing {req.decode()} box")
         zb, ze = stbl[b"stsz"]
+        if ze - zb < 12:
+            raise ValueError("truncated stsz header")
         fixed, n_samples = struct.unpack_from(">II", payload, zb + 4)
-        if n_samples > (len(payload) >> 2):
-            raise ValueError("stsz sample count exceeds payload")
-        sizes = ([fixed] * n_samples if fixed
-                 else _mp4_u32s(payload, zb + 12, n_samples, ze))
+        if fixed:
+            # fixed-size form: the bound is the sample DATA, which must
+            # fit the payload (the per-entry len/4 bound below applies
+            # only to the variable form's 4-byte table entries)
+            if fixed * n_samples > len(payload):
+                raise ValueError("fixed-size samples exceed payload")
+            sizes = [fixed] * n_samples
+        else:
+            if n_samples > (len(payload) >> 2):
+                raise ValueError("stsz sample count exceeds payload")
+            sizes = _mp4_u32s(payload, zb + 12, n_samples, ze)
         cb, ce = stbl[b"stsc"]
+        if ce - cb < 8:
+            raise ValueError("truncated stsc header")
         n_stsc = struct.unpack_from(">I", payload, cb + 4)[0]
         stsc = [tuple(_mp4_u32s(payload, cb + 8 + 12 * i, 3, ce))
                 for i in range(n_stsc)]
         ob, oe = stbl[b"stco"]
+        if oe - ob < 8:
+            raise ValueError("truncated stco header")
         n_stco = struct.unpack_from(">I", payload, ob + 4)[0]
         stco = _mp4_u32s(payload, ob + 8, n_stco, oe)
         # chunk walk: stsc entry i covers chunks [first_i, first_{i+1})
@@ -1163,7 +1189,7 @@ def _mp4_video_track(payload: bytes):
         for i, (first, per_chunk, _sdi) in enumerate(stsc):
             last = (stsc[i + 1][0] - 1 if i + 1 < len(stsc)
                     else len(stco))
-            if first < 1 or first > last + 1:
+            if first < 1 or first > last + 1 or last > len(stco):
                 raise ValueError("stsc chunk range invalid")
             for chunk in range(first, last + 1):
                 off = stco[chunk - 1]

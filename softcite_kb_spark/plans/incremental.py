@@ -158,16 +158,23 @@ class IncrementalKGPipeline(KGPipeline):
         df = self.store.read(self.spark, table)
         return df.filter(F.col("bucket").isin(bks))
 
+    def _conv_bucket_list(self, conv_keys: DataFrame) -> list:
+        """Distinct conv-bucket list of a conversation-key frame — the
+        stage-1 analog of ``_bucket_list`` (one collect, bounded by
+        ``partition_buckets``); the single place the conv partitioning
+        expression lives."""
+        n = self.config.partition_buckets
+        return sorted(r[0] for r in conv_keys.select(
+            F.pmod(F.xxhash64("conv_id"), F.lit(n)).alias("b"))
+            .distinct().collect())
+
     def _conv_pruned(self, table: str, conv_keys: DataFrame,
                      buckets: list | None = None) -> DataFrame:
         """Conv-bucket-pruned read of a stage-1 table, semi-joined to
         the given conversations. ``buckets`` short-circuits the bucket
         collect when the caller already probed the same key frame."""
-        n = self.config.partition_buckets
-        bks = buckets if buckets is not None else sorted(
-            r[0] for r in conv_keys.select(
-                F.pmod(F.xxhash64("conv_id"), F.lit(n)).alias("b"))
-            .distinct().collect())
+        bks = (self._conv_bucket_list(conv_keys)
+               if buckets is None else buckets)
         df = self.store.read(self.spark, table)
         df = df.filter(F.col("bucket").isin(bks))
         return df.join(conv_keys, "conv_id", "left_semi")
@@ -346,10 +353,7 @@ class IncrementalKGPipeline(KGPipeline):
         spark = self.spark
         batch_keys = mat(new_transcripts.select("conv_id").distinct())
         # one conv-bucket probe serves all four stage-1 pruned reads
-        nconv = self.config.partition_buckets
-        conv_bks = sorted(r[0] for r in batch_keys.select(
-            F.pmod(F.xxhash64("conv_id"), F.lit(nconv)).alias("b"))
-            .distinct().collect())
+        conv_bks = self._conv_bucket_list(batch_keys)
 
         # ---- capture the OLD touched slice BEFORE stage-1 commits ----
         old_folded_pairs = mat(self._norm_pairs(

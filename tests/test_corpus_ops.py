@@ -1006,3 +1006,84 @@ def test_mp4_fixture_closed_form(spark):
         assert r.n_bytes == multimodal._MP4_HEADER_BYTES + n * (w * h + 4)
         want = sum(w * h * ((v + i) % 251) for i in range(n)) % (2**31)
         assert r.checksum == want
+
+
+def test_mp4_crafted_structure_raises_valueerror_only(spark):
+    """Review regression: crafted containers whose malformation lands
+    in dict lookups, list indexing or short struct reads must raise
+    ValueError (the class decode_media's poison tolerance catches) —
+    not KeyError/IndexError/struct.error, which would kill the stage."""
+    import struct as st
+
+    import pytest
+
+    frames = [bytes([5]) * 20 for _ in range(3)]
+    good = multimodal.encode_mp4(frames, 5, 4)
+
+    no_minf = bytearray(good)
+    j = good.index(b"minf")
+    no_minf[j:j + 4] = b"xinf"  # vide hdlr + tkhd present, minf gone
+
+    # stsc with a second entry whose first_chunk lies beyond stco's
+    # entry count: entry-1's range would index stco[99] (IndexError
+    # pre-fix). Rebuild stsc with 2 entries (box grows 12 bytes).
+    k = good.index(b"stsc") - 4
+    ksz = st.unpack(">I", good[k:k + 4])[0]
+    stsc2 = multimodal._mp4_full(
+        b"stsc", 0, 0, st.pack(">I", 2)
+        + st.pack(">III", 1, 1, 1) + st.pack(">III", 100, 1, 1))
+    bad_stsc = good[:k] + stsc2 + good[k + ksz:]
+    # (outer box sizes now lie about their length; the box walk must
+    # reject that too, and with ValueError)
+
+    # stsz as a too-short final box: truncate right after its verflags
+    z = good.index(b"stsz") - 4
+    short_stsz = bytearray(good[:z + 12])
+    short_stsz[z:z + 4] = st.pack(">I", 12)
+
+    for p in (bytes(no_minf), bad_stsc, bytes(short_stsz)):
+        with pytest.raises(ValueError):
+            multimodal._decode_bytes(p)
+
+    rows = [(i, "video", bytearray(p), {"declared_width": 5,
+                                        "declared_height": 4})
+            for i, p in enumerate(
+                [good, bytes(no_minf), bad_stsc, bytes(short_stsz)])]
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload",
+                                      "meta"])
+    df = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+    out = multimodal.decode_media(df).collect()
+    assert [r.media_id for r in out] == [0]
+    assert multimodal.frame_sample(df, every_n=1).filter(
+        "media_id != 0").count() == 0
+
+
+def test_mp4_fixed_stsz_small_samples_accepted(spark):
+    """Review regression: the stsz bomb guard must not reject a valid
+    fixed-size container whose samples are under 4 bytes (the len/4
+    bound prices the VARIABLE form's table entries, not sample data)."""
+    import struct as st
+
+    n, fsz = 300, 1  # 300 one-byte samples in a ~1 KB file
+    box, full = multimodal._mp4_box, multimodal._mp4_full
+    ftyp = box(b"ftyp", b"isom" + st.pack(">I", 512) + b"isomiso2")
+    body = bytes(range(44, 44 + 50)) * 6
+    mdat = box(b"mdat", body[:n])
+    off0 = len(ftyp) + 8
+    tkhd = full(b"tkhd", 0, 3, st.pack(">IIIII", 0, 0, 1, 0, n)
+                + b"\x00" * 8 + st.pack(">HHHH", 0, 0, 0, 0)
+                + st.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                          0x40000000) + st.pack(">II", 3 << 16, 2 << 16))
+    hdlr = full(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12
+                + b"V\x00")
+    stsz = full(b"stsz", 0, 0, st.pack(">II", fsz, n))
+    stsc = full(b"stsc", 0, 0, st.pack(">IIII", 1, 1, n, 1))
+    stco = full(b"stco", 0, 0, st.pack(">II", 1, off0))
+    stbl = box(b"stbl", stsz + stsc + stco)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    payload = ftyp + mdat + box(b"moov", trak)
+    kind, w, h, cs = multimodal._decode_bytes(payload)
+    assert (kind, w, h) == ("video", 3, 2)
+    assert cs == sum(body[:n]) % (2**31)
