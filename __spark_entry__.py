@@ -1029,6 +1029,15 @@ def q69_mp4_frame_sample(spark, sf_dir):
     return mm.frame_sample(mm.media_from_documents_mp4(d), every_n=2)
 
 
+def q70_video_resize(spark, sf_dir):
+    """REAL video pixel resample: the MP4 fixtures' 'gry8' sample entry
+    is uncompressed, so resize_media nearest-neighbor-resamples the
+    DECODED first frame (uniform value doc_id%251 — resized_checksum =
+    5*3*v exactly); the demuxed metadata columns are q68's."""
+    d = _t(spark, sf_dir, "documents")
+    return mm.resize_media(mm.media_from_documents_mp4(d), target=(5, 3))
+
+
 def q50_lsh_topk_multiprobe(spark, sf_dir):
     """Multi-probe hyperplane LSH ANN (similarity.probe_buckets): each
     query probes its base bucket plus the buckets reached by flipping its
@@ -1293,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_jpeg_decode": q67_jpeg_decode,
         "q68_mp4_decode": q68_mp4_decode,
         "q69_mp4_frame_sample": q69_mp4_frame_sample,
+        "q70_video_resize": q70_video_resize,
     }
 
 
@@ -1823,6 +1833,26 @@ def oracle_sql() -> dict[str, str]:
                    ((w * h * ((v + i) % 251))
                      % 2147483648)::BIGINT AS frame_checksum
             FROM f
+        """,
+        # q70: q68's metadata + a REAL first-frame nearest-neighbor
+        # resample (frame 0 uniform v = doc_id%251, so the 5x3 resample
+        # sums to 15*v exactly)
+        "q70_video_resize": """
+            WITH p AS (
+              SELECT doc_id, 4 * (1 + doc_id % 5) AS w,
+                     4 * (1 + (doc_id * 3) % 7) AS h,
+                     (1 + doc_id % 6) AS n, doc_id % 251 AS v
+              FROM documents
+            )
+            SELECT doc_id::BIGINT AS media_id,
+                   'video' AS kind, w::INT AS width, h::INT AS height,
+                   (599 + n * (w * h + 4))::BIGINT AS n_bytes,
+                   ((w * h * (n * v + n * (n - 1) / 2
+                       - 251 * greatest(v + n - 251, 0)))
+                     % 2147483648)::BIGINT AS checksum,
+                   5::INT AS target_width, 3::INT AS target_height,
+                   (15 * v)::BIGINT AS resized_checksum
+            FROM p
         """,
         "q26_simhash_near_pairs": _simhash_oracle_sql(),
         "q28_lsh_topk": _hyperplane_oracle_sql(),

@@ -1114,7 +1114,8 @@ def _mp4_u32s(buf: bytes, pos: int, n: int, end: int) -> list:
 
 def _mp4_video_track(payload: bytes):
     """Locate the first video ('vide' handler) track and resolve its
-    sample table. Returns (width, height, [(offset, size), ...]).
+    sample table. Returns (width, height, [(offset, size), ...],
+    sample-entry fourcc or None).
     Every offset/size is bounds-checked against the payload, and every
     malformed-structure path raises ValueError (the codec-binding
     convention decode_media's poison tolerance catches) — the explicit
@@ -1158,6 +1159,11 @@ def _mp4_video_track_inner(payload: bytes):
         for req in (b"stsz", b"stsc", b"stco"):
             if req not in stbl:
                 raise ValueError(f"missing {req.decode()} box")
+        fourcc = None
+        if b"stsd" in stbl:
+            sb, se = stbl[b"stsd"]
+            if se - sb >= 16:
+                fourcc = payload[sb + 12:sb + 16]
         zb, ze = stbl[b"stsz"]
         if ze - zb < 12:
             raise ValueError("truncated stsz header")
@@ -1203,7 +1209,7 @@ def _mp4_video_track_inner(payload: bytes):
                     off += size
         if len(samples) != n_samples:
             raise ValueError("sample table does not cover stsz count")
-        return w, h, samples
+        return w, h, samples, fourcc
     raise ValueError("no video track")
 
 
@@ -1211,11 +1217,29 @@ def _decode_mp4(payload: bytes) -> tuple[str, int, int, int]:
     """Real ISO BMFF demux: (width, height) from tkhd, checksum over
     the demuxed sample bytes (located via stsc/stco/stsz — NOT the file
     tail, so the sample-table walk is what the oracle value-checks)."""
-    w, h, samples = _mp4_video_track(payload)
+    w, h, samples, _fourcc = _mp4_video_track(payload)
     cs = 0
     for off, size in samples:
         cs += sum(payload[off:off + size])
     return "video", w, h, cs % (2**31)
+
+
+def _mp4_first_frame_pixels(payload: bytes):
+    """Decoded first-frame pixel matrix, for containers whose sample
+    entry is the private uncompressed ``gry8`` fourcc (one byte per
+    pixel, row-major) — the codec-free case where video pixels are
+    REAL. Any other fourcc is an opaque codec: returns None (decode
+    metadata stays available, pixels don't)."""
+    import numpy as np
+
+    w, h, samples, fourcc = _mp4_video_track(payload)
+    if fourcc != b"gry8" or not samples:
+        return None
+    off, size = samples[0]
+    if size != w * h:
+        raise ValueError("gry8 sample size != width*height")
+    return np.frombuffer(payload, dtype=np.uint8, count=size,
+                         offset=off).reshape(h, w)
 
 
 def _mp4_box(fourcc: bytes, body: bytes) -> bytes:
@@ -1408,12 +1432,15 @@ RESIZED_SCHEMA = T.StructType(DECODED_SCHEMA.fields + [
 
 
 def resize_media(df: DataFrame, target: tuple[int, int] = (32, 32)) -> DataFrame:
-    """Decode + resample to ``target``: for BMP payloads this is a REAL
-    nearest-neighbor resample over the decoded pixel matrix (numpy index
-    maps, vectorized per image); ``resized_checksum`` sums the resampled
-    pixel bytes. Formats without an in-container pixel codec (SKBM stub
-    kinds, WAV audio) decode but carry a NULL resized_checksum. Malformed
-    payloads are dropped — same poison tolerance as decode_media."""
+    """Decode + resample to ``target``: for BMP/PNG/JPEG — and for MP4
+    whose sample entry is the uncompressed ``gry8`` fourcc (first
+    frame) — this is a REAL nearest-neighbor resample over the decoded
+    pixel matrix (numpy index maps, vectorized per image);
+    ``resized_checksum`` sums the resampled pixel bytes. Payloads
+    without an in-container pixel codec (opaque-codec MP4, SKBM stub
+    kinds, WAV audio) decode but carry a NULL resized_checksum.
+    Malformed payloads are dropped — same poison tolerance as
+    decode_media."""
     import numpy as np
 
     tw, th = target
@@ -1437,6 +1464,10 @@ def resize_media(df: DataFrame, target: tuple[int, int] = (32, 32)) -> DataFrame
                     px = _decode_png_pixels(b)
                 elif b[:2] == b"\xff\xd8":
                     px = _decode_jpeg_pixels(b)
+                elif b[4:8] == b"ftyp":
+                    # real pixels only for the uncompressed gry8
+                    # fourcc; opaque codecs keep NULL resized_checksum
+                    px = _mp4_first_frame_pixels(b)
                 if px is not None:
                     yi = (np.arange(th) * h) // th
                     xi = (np.arange(tw) * w) // tw
@@ -1488,7 +1519,7 @@ def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
                     if b is None or len(b) < 16:
                         raise ValueError("payload too short")
                     if b[4:8] == b"ftyp":
-                        _w, _h, samples = _mp4_video_track(b)
+                        _w, _h, samples, _fcc = _mp4_video_track(b)
                         n = len(samples)
                         rows = [(i, samples[i][1],
                                  sum(b[samples[i][0]:

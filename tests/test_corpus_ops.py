@@ -1087,3 +1087,36 @@ def test_mp4_fixed_stsz_small_samples_accepted(spark):
     kind, w, h, cs = multimodal._decode_bytes(payload)
     assert (kind, w, h) == ("video", 3, 2)
     assert cs == sum(body[:n]) % (2**31)
+
+
+def test_mp4_resize_real_first_frame(spark):
+    """resize_media resamples the DECODED first gry8 frame of an MP4
+    (same nearest-neighbor index maps as the image formats) — verified
+    against a numpy reference on non-uniform pixels; an opaque-fourcc
+    container keeps NULL resized_checksum."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    w, h = 11, 6
+    f0 = rng.integers(0, 256, size=h * w, dtype=np.uint8)
+    frames = [f0.tobytes(), bytes([1]) * (w * h)]
+    payload = multimodal.encode_mp4(frames, w, h)
+    opaque = bytearray(payload)
+    j = payload.index(b"gry8")
+    opaque[j:j + 4] = b"avc1"
+    rows = [(1, "video", bytearray(payload), {"declared_width": w,
+                                              "declared_height": h}),
+            (2, "video", opaque, {"declared_width": w,
+                                  "declared_height": h})]
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload",
+                                      "meta"])
+    df = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in
+           multimodal.resize_media(df, target=(4, 3)).collect()}
+    yi = (np.arange(3) * h) // 3
+    xi = (np.arange(4) * w) // 4
+    want = int(f0.reshape(h, w)[yi][:, xi].sum(dtype="int64")) % (2**31)
+    assert got[1].resized_checksum == want
+    assert (got[1].width, got[1].height) == (w, h)
+    assert got[2].resized_checksum is None  # opaque codec, real metadata
+    assert (got[2].width, got[2].height) == (w, h)
