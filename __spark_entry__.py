@@ -1038,6 +1038,16 @@ def q70_video_resize(spark, sf_dir):
     return mm.resize_media(mm.media_from_documents_mp4(d), target=(5, 3))
 
 
+def q71_doc_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition metrics
+    (textops.repetition_stats): most-frequent word bigram + its
+    character-coverage fraction, and the character fraction covered by
+    duplicated trigrams — the duplicate-n-gram quality-filter family.
+    One corpus scan, tagged-concat explode, two hash aggregations."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.repetition_stats(d)
+
+
 def q50_lsh_topk_multiprobe(spark, sf_dir):
     """Multi-probe hyperplane LSH ANN (similarity.probe_buckets): each
     query probes its base bucket plus the buckets reached by flipping its
@@ -1303,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_mp4_decode": q68_mp4_decode,
         "q69_mp4_frame_sample": q69_mp4_frame_sample,
         "q70_video_resize": q70_video_resize,
+        "q71_doc_repetition": q71_doc_repetition,
     }
 
 
@@ -1853,6 +1864,55 @@ def oracle_sql() -> dict[str, str]:
                    5::INT AS target_width, 3::INT AS target_height,
                    (15 * v)::BIGINT AS resized_checksum
             FROM p
+        """,
+        # q71: word-bigram/trigram repetition — gram construction via a
+        # lateral index unnest; tie-break ORDER BY c DESC, gram DESC is
+        # exactly Spark's max(struct(c, gram)); coverage fractions are
+        # the overlap-uncorrected sum clamped to 1.0 (operator contract)
+        "q71_doc_repetition": """
+            WITH toks AS (
+              SELECT doc_id,
+                     length(regexp_replace(text, '\\s+', '', 'g'))
+                     AS chars,
+                     regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents
+            ), g2 AS (
+              SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+              FROM toks, UNNEST(range(1, len(t))) AS r(i)
+            ), c2 AS (
+              SELECT doc_id, gram, count(*)::BIGINT AS c
+              FROM g2 GROUP BY 1, 2
+            ), top AS (
+              SELECT doc_id, gram, c,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY c DESC, gram DESC)
+                     AS rn
+              FROM c2
+            ), g3 AS (
+              SELECT doc_id,
+                     t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+              FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+            ), c3 AS (
+              SELECT doc_id, sum(c * (length(gram) - 2)) AS dup_chars
+              FROM (SELECT doc_id, gram, count(*)::BIGINT AS c
+                    FROM g3 GROUP BY 1, 2)
+              WHERE c > 1 GROUP BY 1
+            )
+            SELECT k.doc_id,
+                   tp.gram AS top_gram,
+                   coalesce(tp.c, 0)::BIGINT AS top_gram_count,
+                   round(least(1.0::DOUBLE,
+                       coalesce(tp.c * (length(tp.gram) - 1), 0)
+                       / greatest(k.chars, 1)), 6)
+                   AS top_gram_char_frac,
+                   round(least(1.0::DOUBLE,
+                       coalesce(c3.dup_chars, 0)
+                       / greatest(k.chars, 1)), 6)
+                   AS dup_gram_char_frac
+            FROM toks k
+            LEFT JOIN (SELECT * FROM top WHERE rn = 1) tp
+              USING (doc_id)
+            LEFT JOIN c3 USING (doc_id)
         """,
         "q26_simhash_near_pairs": _simhash_oracle_sql(),
         "q28_lsh_topk": _hyperplane_oracle_sql(),

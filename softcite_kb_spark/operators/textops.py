@@ -192,3 +192,82 @@ def fingerprint(text: Column) -> Column:
 
 def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", fingerprint(F.col(text_col)))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", top_n: int = 2,
+                     dup_n: int = 3) -> DataFrame:
+    """Gopher-style within-document repetition metrics (the
+    duplicate-n-gram family of Rae et al. 2021 Appendix A quality
+    filters), per document:
+
+    * ``top_gram`` / ``top_gram_count`` — the most frequent word
+      ``top_n``-gram and its occurrence count (ties break to the
+      lexicographically LARGEST gram — a deterministic rule a SQL
+      oracle reproduces with ``ORDER BY c DESC, gram DESC``);
+    * ``top_gram_char_frac`` — fraction of the document's non-space
+      characters covered by occurrences of that gram
+      (``count * gram_chars / doc_chars``);
+    * ``dup_gram_char_frac`` — fraction covered by ALL occurrences of
+      ``dup_n``-grams appearing more than once. Both fractions use the
+      standard overlap-UNCORRECTED coverage sum (each occurrence counts
+      its full length even when occurrences overlap), clamped to 1.0 —
+      the same approximation production curation stacks apply, chosen
+      here because it is exactly relational (no per-position marking).
+
+    Plan shape (the 100 TB story): ONE scan of ``df`` builds both gram
+    arrays, tags them, and explodes ONCE (the tagged-concat idiom — a
+    union of two explodes would re-scan the corpus); gram counting is a
+    hash aggregation on (id, kind, gram) with map-side partial
+    aggregation (classic word-count: the shuffle carries distinct grams
+    per doc, not occurrences), followed by a tiny per-doc rollup.
+    Documents too short to produce any gram survive via the left join
+    from the 2-column (id, chars) projection: zero fractions, NULL
+    gram. Zero Python anywhere.
+
+    Docs with NULL or too-short text get NULL ``top_gram``, zero count
+    and zero fractions (``greatest(chars, 1)`` absorbs the NULL/0
+    denominator — Spark's greatest skips NULLs)."""
+    from softcite_kb_spark.operators.dedup import shingles
+
+    text = F.col(text_col)
+    tagged = F.concat(
+        F.transform(shingles(text, top_n),
+                    lambda g: F.struct(F.lit(0).alias("k"),
+                                       g.alias("gram"))),
+        F.transform(shingles(text, dup_n),
+                    lambda g: F.struct(F.lit(1).alias("k"),
+                                       g.alias("gram"))))
+    ex = (df.select(F.col(id_col), F.explode(tagged).alias("t"))
+          .select(id_col, F.col("t.k").alias("k"),
+                  F.col("t.gram").alias("gram")))
+    cnt = ex.groupBy(id_col, "k", "gram").agg(
+        F.count("*").cast("long").alias("c"))
+    # one rollup computes BOTH metrics: max() skips the NULLs the other
+    # kind's rows contribute, so no second scan and no self-join
+    per_doc = cnt.groupBy(id_col).agg(
+        F.max(F.when(F.col("k") == 0,
+                     F.struct(F.col("c"), F.col("gram")))).alias("m"),
+        F.sum(F.when((F.col("k") == 1) & (F.col("c") > 1),
+                     F.col("c") * (F.length("gram") - (dup_n - 1)))
+              ).alias("dup_chars"))
+    denom = df.select(
+        F.col(id_col),
+        F.length(F.regexp_replace(text, r"\s+", "")).alias("__chars"))
+    d = F.greatest(F.col("__chars"), F.lit(1))
+    return (denom.join(per_doc, id_col, "left")
+            .select(
+                id_col,
+                F.col("m.gram").alias("top_gram"),
+                F.coalesce(F.col("m.c"), F.lit(0).cast("long"))
+                .alias("top_gram_count"),
+                F.round(F.least(
+                    F.lit(1.0),
+                    F.coalesce(F.col("m.c")
+                               * (F.length(F.col("m.gram"))
+                                  - (top_n - 1)), F.lit(0)) / d),
+                    6).alias("top_gram_char_frac"),
+                F.round(F.least(
+                    F.lit(1.0),
+                    F.coalesce(F.col("dup_chars"), F.lit(0)) / d),
+                    6).alias("dup_gram_char_frac")))

@@ -1089,6 +1089,35 @@ def test_mp4_fixed_stsz_small_samples_accepted(spark):
     assert cs == sum(body[:n]) % (2**31)
 
 
+def test_repetition_stats_hand_computed(spark):
+    """Gopher-style repetition metrics vs hand-computed values: coverage
+    fractions (incl. the >1 clamp on overlapping duplicate trigrams),
+    the gram-DESC tie-break, and the short/NULL-text degenerate rows."""
+    d = spark.createDataFrame(
+        [(1, "a b a b a b"),     # top2 'a b'x3 covers all chars; dup3 clamps
+         (2, "a b c a b c"),     # top2 tie 'a b'/'b c' -> larger gram wins
+         (3, "hello"),           # no grams at all
+         (4, None),              # NULL text
+         (5, "u v w x")],        # all grams unique
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in textops.repetition_stats(d).collect()}
+    assert (rows[1].top_gram, rows[1].top_gram_count) == ("a b", 3)
+    assert rows[1].top_gram_char_frac == 1.0   # 3 occurrences x 2 chars / 6
+    assert rows[1].dup_gram_char_frac == 1.0   # raw 12/6 = 2.0, clamped
+    assert (rows[2].top_gram, rows[2].top_gram_count) == ("b c", 2)
+    assert rows[2].top_gram_char_frac == pytest.approx(4 / 6, abs=1e-6)
+    assert rows[2].dup_gram_char_frac == 1.0   # 'a b c' x2 -> 6/6
+    for did in (3, 4):
+        assert rows[did].top_gram is None
+        assert rows[did].top_gram_count == 0
+        assert rows[did].top_gram_char_frac == 0.0
+        assert rows[did].dup_gram_char_frac == 0.0
+    assert (rows[5].top_gram, rows[5].top_gram_count) == ("w x", 1)
+    assert rows[5].top_gram_char_frac == 0.5   # 1 x 2 chars / 4
+    assert rows[5].dup_gram_char_frac == 0.0
+    assert len(rows) == 5
+
+
 def test_mp4_resize_real_first_frame(spark):
     """resize_media resamples the DECODED first gry8 frame of an MP4
     (same nearest-neighbor index maps as the image formats) — verified
