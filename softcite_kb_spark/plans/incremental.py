@@ -99,6 +99,13 @@ class IncrementalKGPipeline(KGPipeline):
                     "triples_by_obj")
     #: surface-granularity state (small; read in full)
     SURFACE_TABLES = ("surface_stats", "accepted_links", "surface_canon")
+    #: every table whose PRE-increment state the increment body reads —
+    #: pinned (snapshot-tagged) for the duration of the increment so a
+    #: mid-increment crash is replayable from exactly the state the
+    #: first attempt saw (see the WAL notes on ingest_increment)
+    PIN_TABLES = ("folded_mentions", "triples", "accepted_links",
+                  "surface_canon", "edges", "auth_refs")
+    _WAL_PIN = "ingest23-wal"
 
     def __init__(self, spark, store: TableStore, config=None,
                  materializer=None, surface_buckets: int = 32) -> None:
@@ -112,6 +119,8 @@ class IncrementalKGPipeline(KGPipeline):
         # per-ingest observability: {table: sorted bucket list} of every
         # pruned read — what the scale tests assert on
         self.last_read_buckets: dict[str, list] = {}
+        # {table: pinned snapshot id} of the in-flight increment's WAL
+        self._wal_pins: dict[str, int] = {}
 
     # -- helpers ----------------------------------------------------------
     def _mat(self):
@@ -143,19 +152,29 @@ class IncrementalKGPipeline(KGPipeline):
             _sbucket(F.col(col), self.surface_buckets).alias("b"))
             .distinct().collect())
 
+    def _read_old(self, table: str) -> DataFrame:
+        """PRE-increment state of ``table``: the snapshot pinned when
+        this increment's WAL entry was written — identical on the first
+        attempt and on every crash replay."""
+        return self.store.read_at(self.spark, table,
+                                  self._wal_pins[table])
+
     def _pruned_read(self, table: str, surfaces: DataFrame,
                      col: str = "norm_surface",
-                     buckets: list | None = None) -> DataFrame:
+                     buckets: list | None = None,
+                     old: bool = False) -> DataFrame:
         """Read ``table`` restricted to the partitions holding the given
         surfaces — the bucket list is collected (bounded by
         ``surface_buckets``), recorded for observability, and pushed
-        down as a partition filter."""
+        down as a partition filter. ``old=True`` reads the WAL-pinned
+        pre-increment snapshot instead of the current one."""
         bks = (self._bucket_list(surfaces, col)
                if buckets is None else buckets)
         self.last_read_buckets.setdefault(table, [])
         self.last_read_buckets[table] = sorted(
             set(self.last_read_buckets[table]) | set(bks))
-        df = self.store.read(self.spark, table)
+        df = (self._read_old(table) if old
+              else self.store.read(self.spark, table))
         return df.filter(F.col("bucket").isin(bks))
 
     def _conv_bucket_list(self, conv_keys: DataFrame) -> list:
@@ -169,13 +188,16 @@ class IncrementalKGPipeline(KGPipeline):
             .distinct().collect())
 
     def _conv_pruned(self, table: str, conv_keys: DataFrame,
-                     buckets: list | None = None) -> DataFrame:
+                     buckets: list | None = None,
+                     old: bool = False) -> DataFrame:
         """Conv-bucket-pruned read of a stage-1 table, semi-joined to
         the given conversations. ``buckets`` short-circuits the bucket
-        collect when the caller already probed the same key frame."""
+        collect when the caller already probed the same key frame;
+        ``old=True`` reads the WAL-pinned pre-increment snapshot."""
         bks = (self._conv_bucket_list(conv_keys)
                if buckets is None else buckets)
-        df = self.store.read(self.spark, table)
+        df = (self._read_old(table) if old
+              else self.store.read(self.spark, table))
         df = df.filter(F.col("bucket").isin(bks))
         return df.join(conv_keys, "conv_id", "left_semi")
 
@@ -334,9 +356,41 @@ class IncrementalKGPipeline(KGPipeline):
         self._save_manifest(m)
         return report
 
-    # -- the incremental ingest ------------------------------------------
+    # -- crash-safe wrapper ----------------------------------------------
+    def _batch_signature(self, batch: DataFrame) -> dict:
+        """Content signature of an increment batch — how a crash REPLAY
+        proves it carries the same batch the WAL entry was written for.
+        Order-insensitive bit_xor of per-row hashes (never overflows —
+        ANSI sum would) + row/conversation counts."""
+        r = batch.select(
+            F.count("*").alias("n"),
+            F.countDistinct("conv_id").alias("nc"),
+            F.expr("bit_xor(xxhash64(conv_id, turn_idx, "
+                   "md5(coalesce(text, ''))))").alias("h")).collect()[0]
+        return {"n": r["n"], "nc": r["nc"], "h": int(r["h"] or 0)}
+
     def ingest_increment(self, new_transcripts: DataFrame) -> dict:
-        t0 = time.time()
+        """Crash-safe incremental ingest (WAL + snapshot pins).
+
+        An increment is ~15 sequential snapshot commits; a crash
+        between any two leaves the store mid-increment — and the OLD
+        rows of replaced conversations are then no longer discoverable
+        from current state (stage-1 already replaced them), so a naive
+        re-run would orphan their derived rows forever. Instead, before
+        the first commit, every table whose PRE-increment state the
+        body reads (:data:`PIN_TABLES`) is snapshot-PINNED (the Iceberg
+        tag analog — expiry skips pins) and a WAL entry {batch
+        signature, pinned ids} lands in the stage manifest. The body
+        reads all old state through the pins, so re-calling
+        ``ingest_increment`` with the SAME batch after a crash replays
+        deterministically from exactly the state the first attempt saw:
+        every commit is a keyed replacement whose inputs are functions
+        of (pinned old state, the batch, deterministically re-merged
+        tables), hence idempotent. On success the WAL entry is cleared
+        and the pins dropped. A different batch while a WAL entry is
+        pending raises — the caller (or the streaming checkpoint, see
+        ``streaming.ingest.run_kg_maintain_stream``) must roll the
+        interrupted increment forward first."""
         m = self._load_manifest()
         if "_ingest23" not in m:
             raise RuntimeError(
@@ -348,6 +402,38 @@ class IncrementalKGPipeline(KGPipeline):
                 "pipeline config changed since bootstrap — stage-2/3 "
                 "state was built under a different config; re-run "
                 "bootstrap()")
+        sig = self._batch_signature(new_transcripts)
+        wal = m["_ingest23"].get("wal")
+        if wal is not None:
+            if wal["sig"] != sig:
+                raise RuntimeError(
+                    "a previous ingest_increment did not complete (WAL "
+                    "entry pending) and this call carries a DIFFERENT "
+                    "batch — re-call ingest_increment with the "
+                    "interrupted batch first to roll it forward")
+            self._wal_pins = {t: int(s) for t, s in wal["pins"].items()}
+        else:
+            # pin FIRST, then persist the WAL entry: a crash between
+            # the two leaves only a re-pinnable tag behind (the fixed
+            # pin name is moved by the next increment), never a WAL
+            # entry whose pinned snapshots could expire
+            self._wal_pins = {t: self.store.pin_snapshot(t, self._WAL_PIN)
+                              for t in self.PIN_TABLES}
+            m["_ingest23"]["wal"] = {"sig": sig, "pins": self._wal_pins,
+                                     "started_at": time.time()}
+            self._save_manifest(m)
+        out = self._apply_increment(new_transcripts)
+        m = self._load_manifest()
+        m["_ingest23"].pop("wal", None)
+        self._save_manifest(m)
+        for t in self.PIN_TABLES:
+            self.store.unpin_snapshot(t, self._WAL_PIN)
+        self._wal_pins = {}
+        return out
+
+    # -- the incremental ingest body -------------------------------------
+    def _apply_increment(self, new_transcripts: DataFrame) -> dict:
+        t0 = time.time()
         self.last_read_buckets = {}
         mat = self._mat()
         spark = self.spark
@@ -355,13 +441,16 @@ class IncrementalKGPipeline(KGPipeline):
         # one conv-bucket probe serves all four stage-1 pruned reads
         conv_bks = self._conv_bucket_list(batch_keys)
 
-        # ---- capture the OLD touched slice BEFORE stage-1 commits ----
+        # ---- the OLD touched slice, from the WAL-pinned snapshots ----
+        # (crash-replays re-read the identical pre-increment state even
+        # though stage-1 has already replaced these rows)
         old_folded_pairs = mat(self._norm_pairs(
             self._conv_pruned("folded_mentions", batch_keys,
-                              buckets=conv_bks)
+                              buckets=conv_bks, old=True)
             .select("norm_surface", "conv_id")))
         old_triples = mat(
-            self._conv_pruned("triples", batch_keys, buckets=conv_bks)
+            self._conv_pruned("triples", batch_keys, buckets=conv_bks,
+                              old=True)
             .select("conv_id", "turn_idx", "subj", "pred", "obj"))
 
         # ---- stage 1 (conv-layout, inherited) ----
@@ -411,7 +500,7 @@ class IncrementalKGPipeline(KGPipeline):
                          delete_keys=self._with_sbucket(vanished_T,
                                                         shuffle=False))
         old_accepted_T = mat(self._pruned_read("accepted_links", T,
-                                               buckets=t_bks)
+                                               buckets=t_bks, old=True)
                              .join(T, "norm_surface", "left_semi")
                              .drop("bucket"))
         triples_T = (self._pruned_read("triples_by_subj", T,
@@ -430,7 +519,7 @@ class IncrementalKGPipeline(KGPipeline):
             new_accepted_T.select("norm_surface", "entity_id"))
 
         # ---- global surface canon (O(distinct surfaces)) ----
-        old_canon = mat(self.store.read(spark, "surface_canon")
+        old_canon = mat(self._read_old("surface_canon")
                         .drop("bucket"))
         stats_full = self.store.read(spark, "surface_stats") \
             .drop("bucket")
@@ -513,7 +602,8 @@ class IncrementalKGPipeline(KGPipeline):
         # old edge rows of the affected canonicals (pre-merge) for the
         # authority-reference refcount delta
         old_edges_k = mat(
-            self._pruned_read("edges", K_all, col="canonical_id")
+            self._pruned_read("edges", K_all, col="canonical_id",
+                              old=True)
             .join(K_all.withColumnRenamed("canonical_id", "src_id"),
                   "src_id", "left_semi").drop("bucket"))
         # dst resolution needs canon rows for the slice's OBJECT
@@ -554,7 +644,7 @@ class IncrementalKGPipeline(KGPipeline):
                          (F.coalesce("n_new", F.lit(0))
                           - F.coalesce("n_old", F.lit(0))).alias("d"))
                  .filter(F.col("d") != 0))
-        refs_old = self.store.read(spark, "auth_refs")
+        refs_old = self._read_old("auth_refs")
         refs_new = mat(
             refs_old.join(delta, "entity_id", "full")
             .select("entity_id",

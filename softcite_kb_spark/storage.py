@@ -78,9 +78,74 @@ class TableStore:
             json.dump(meta, f, indent=1, sort_keys=True)
         os.replace(tmp, p)  # atomic pointer swap = snapshot commit
 
+    def _expire(self, table: str, meta: dict[str, Any]) -> None:
+        """Retire data directories of snapshots beyond the last 3
+        (Iceberg ``expire_snapshots`` analog) — EXCEPT pinned ones: a
+        pin is the Iceberg snapshot-tag analog, and the incremental
+        pipeline's crash-recovery WAL pins the pre-increment snapshots
+        it must be able to replay from (a replay storm would otherwise
+        push them past the retention window)."""
+        pinned = set((meta.get("pins") or {}).values())
+        for s in meta["snapshots"][:-3]:
+            if s["snapshot_id"] in pinned:
+                continue
+            if os.path.isdir(s["path"]):
+                shutil.rmtree(s["path"], ignore_errors=True)
+
     # -- public API -------------------------------------------------------
     def exists(self, table: str) -> bool:
         return self._load_meta(table)["current"] is not None
+
+    def pin_snapshot(self, table: str, name: str,
+                     snapshot_id: int | None = None) -> int:
+        """Tag a snapshot (current by default) so expiry never retires
+        it — Iceberg ``CREATE TAG`` analog. Re-pinning the same name
+        moves the tag. Returns the pinned snapshot id."""
+        meta = self._load_meta(table)
+        sid = snapshot_id if snapshot_id is not None else meta["current"]
+        if sid is None or not any(s["snapshot_id"] == sid
+                                  for s in meta["snapshots"]):
+            raise FileNotFoundError(
+                f"table {table!r} has no snapshot {sid!r} to pin")
+        pins = meta.setdefault("pins", {})
+        pins[name] = sid
+        self._save_meta(table, meta)
+        return sid
+
+    def unpin_snapshot(self, table: str, name: str) -> None:
+        """Drop a snapshot tag (no-op when absent). The data directory
+        is retired by the NEXT commit's expiry pass if out of
+        retention."""
+        meta = self._load_meta(table)
+        if name in (meta.get("pins") or {}):
+            del meta["pins"][name]
+            self._save_meta(table, meta)
+
+    def read_at(self, spark: SparkSession, table: str,
+                snapshot_id: int) -> DataFrame:
+        """Time-travel read of a specific snapshot (Iceberg ``VERSION
+        AS OF`` analog) with that snapshot's pinned reader schema.
+        Raises if the snapshot's data was already expired — callers
+        pin (``pin_snapshot``) any snapshot they need to return to."""
+        meta = self._load_meta(table)
+        for s in meta["snapshots"]:
+            if s["snapshot_id"] == snapshot_id:
+                if not os.path.isdir(s["path"]):
+                    raise FileNotFoundError(
+                        f"snapshot {snapshot_id} of table {table!r} "
+                        f"was expired (data dir gone) — pin snapshots "
+                        f"that must stay readable")
+                schema_json = (s.get("properties") or {}).get(
+                    "schema_json")
+                if schema_json:
+                    from pyspark.sql.types import StructType
+
+                    return spark.read.schema(
+                        StructType.fromJson(json.loads(schema_json))
+                    ).parquet(s["path"])
+                return spark.read.parquet(s["path"])
+        raise FileNotFoundError(
+            f"table {table!r} has no snapshot {snapshot_id}")
 
     def current_snapshot(self, table: str) -> Snapshot | None:
         meta = self._load_meta(table)
@@ -128,10 +193,7 @@ class TableStore:
         meta["snapshots"].append(snap.__dict__)
         meta["current"] = sid
         self._save_meta(table, meta)
-        # retire old snapshots beyond the last 3 (expire_snapshots analog)
-        for s in meta["snapshots"][:-3]:
-            if os.path.isdir(s["path"]):
-                shutil.rmtree(s["path"], ignore_errors=True)
+        self._expire(table, meta)
         return snap
 
     def merge(
@@ -300,9 +362,7 @@ class TableStore:
         meta["snapshots"].append(new_snap.__dict__)
         meta["current"] = sid
         self._save_meta(table, meta)
-        for s in meta["snapshots"][:-3]:
-            if os.path.isdir(s["path"]):
-                shutil.rmtree(s["path"], ignore_errors=True)
+        self._expire(table, meta)
         return new_snap
 
     def append(self, df: DataFrame, table: str,
@@ -377,9 +437,7 @@ class TableStore:
         meta["snapshots"].append(new_snap.__dict__)
         meta["current"] = sid
         self._save_meta(table, meta)
-        for s in meta["snapshots"][:-3]:
-            if os.path.isdir(s["path"]):
-                shutil.rmtree(s["path"], ignore_errors=True)
+        self._expire(table, meta)
         return new_snap
 
     @staticmethod

@@ -218,3 +218,107 @@ def test_decision_flip_propagates(spark, tmp_path):
     rp.run(resume=False)
     for t in OUT_TABLES:
         _assert_tables_equal(spark, ref, st, t)
+
+
+class _CrashingStore(TableStore):
+    """TableStore that raises a planted error INSTEAD of performing the
+    commit whose ordinal (or table name) is armed — simulating a crash
+    between two of an increment's sequential snapshot commits."""
+
+    def __init__(self, root):
+        super().__init__(root)
+        self.commit_log: list = []
+        self.fail_on_commit: int | None = None  # 0-based ordinal
+        self.armed = False
+
+    def _tick(self, table):
+        if self.armed:
+            if (self.fail_on_commit is not None
+                    and len(self.commit_log) == self.fail_on_commit):
+                raise RuntimeError(f"planted crash before {table}")
+            self.commit_log.append(table)
+
+    def write(self, df, table, *a, **k):
+        self._tick(table)
+        return super().write(df, table, *a, **k)
+
+    def merge(self, df, table, *a, **k):
+        self._tick(table)
+        return super().merge(df, table, *a, **k)
+
+    def append(self, df, table, *a, **k):
+        self._tick(table)
+        return super().append(df, table, *a, **k)
+
+
+def test_increment_crash_replay_equals_batch(spark, corpus_tables,
+                                             tmp_path):
+    """A crash at ANY commit boundary inside ingest_increment must be
+    recoverable by re-calling it with the same batch: the WAL entry +
+    pinned pre-increment snapshots let the replay re-derive the OLD
+    touched slice even though stage-1 already replaced those rows (the
+    orphaned-eviction hazard a naive re-run hits). Crashes are planted
+    at the first commit after stage-1's (the dangerous window: conv
+    tables new, surface tables stale) and late in stage-3; after the
+    replay all four output tables equal the from-scratch batch run.
+    A different batch against a pending WAL is refused."""
+    dfs = _load(spark, corpus_tables)
+    convs = sorted(r.conv_id for r in dfs["transcripts"]
+                   .select("conv_id").distinct().collect())
+    first = set(convs[: int(len(convs) * 0.8)])
+    t_a = dfs["transcripts"].filter(F.col("conv_id").isin(first))
+    t_b = dfs["transcripts"].filter(~F.col("conv_id").isin(first))
+    ref = _batch_reference(spark, dfs, str(tmp_path / "ref"),
+                           dfs["transcripts"])
+
+    # clean run first: record the increment's commit sequence so the
+    # crash ordinals below are structural, not magic numbers
+    st0 = _CrashingStore(str(tmp_path / "probe"))
+    pipe0 = IncrementalKGPipeline(spark, st0, _cfg(), surface_buckets=64)
+    pipe0.write_transcripts(t_a)
+    for n in ("authority_entities", "authority_ids"):
+        st0.write(dfs[n], n)
+    pipe0.bootstrap(resume=False)
+    st0.armed = True
+    pipe0.ingest_increment(t_b)
+    seq = list(st0.commit_log)
+    assert len(seq) >= 10, seq
+    # the stage-1/stage-2 boundary: first surface-layout table commit
+    early = seq.index("folded_by_surface")
+    late = len(seq) - 2
+    for t in OUT_TABLES:
+        _assert_tables_equal(spark, ref, st0, t)  # probe run is correct
+
+    for tag, crash_at in (("early", early), ("late", late)):
+        root = str(tmp_path / f"crash_{tag}")
+        st = _CrashingStore(root)
+        pipe = IncrementalKGPipeline(spark, st, _cfg(),
+                                     surface_buckets=64)
+        pipe.write_transcripts(t_a)
+        for n in ("authority_entities", "authority_ids"):
+            st.write(dfs[n], n)
+        pipe.bootstrap(resume=False)
+        st.armed = True
+        st.fail_on_commit = crash_at
+        with pytest.raises(RuntimeError, match="planted crash"):
+            pipe.ingest_increment(t_b)
+        man = pipe._load_manifest()
+        assert "wal" in man["_ingest23"], tag  # crash left the WAL entry
+
+        # a DIFFERENT batch must be refused while the WAL is pending
+        other = dfs["transcripts"].filter(
+            F.col("conv_id") == convs[0])
+        with pytest.raises(RuntimeError, match="did not complete"):
+            pipe.ingest_increment(other)
+
+        # replay with the SAME batch rolls the increment forward
+        st.fail_on_commit = None
+        report = pipe.ingest_increment(t_b)
+        assert report["link"] == "incremental", tag
+        for t in OUT_TABLES:
+            _assert_tables_equal(spark, ref, st, t)
+        man = pipe._load_manifest()
+        assert "wal" not in man["_ingest23"], tag  # cleared on success
+        for t in IncrementalKGPipeline.PIN_TABLES:  # pins dropped
+            assert IncrementalKGPipeline._WAL_PIN not in (
+                st._load_meta(t).get("pins") or {}), (tag, t)

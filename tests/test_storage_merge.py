@@ -362,3 +362,35 @@ def test_pruned_merge_mixed_replace_and_emptying_delete(spark, tmp_path):
             assert (os.stat(os.path.join(d1, f)).st_ino
                     == os.stat(os.path.join(
                         snap2.path, "bucket=2", f)).st_ino)
+
+
+def test_pin_read_at_and_expiry(spark, tmp_path):
+    """Snapshot pins (Iceberg tag analog): a pinned snapshot survives
+    the retention-3 expiry indefinitely and stays readable through
+    read_at with its own schema; unpinning lets the next commit retire
+    it, after which read_at raises the explicit expired error."""
+    import pytest
+
+    st = TableStore(str(tmp_path / "s"))
+    st.write(spark.createDataFrame(pd.DataFrame(
+        {"k": ["a", "b"], "v": [1, 2]})), "t")
+    sid = st.pin_snapshot("t", "wal")
+    assert sid == 1
+    for i in range(5):  # push far past the 3-snapshot retention window
+        st.write(spark.createDataFrame(pd.DataFrame(
+            {"k": ["a", "b"], "v": [10 + i, 20 + i]})), "t")
+    old = {r.k: r.v for r in st.read_at(spark, "t", sid).collect()}
+    assert old == {"a": 1, "b": 2}  # time travel to pre-overwrite state
+    assert {r.k: r.v for r in st.read(spark, "t").collect()} == \
+        {"a": 14, "b": 24}
+    st.unpin_snapshot("t", "wal")
+    st.write(spark.createDataFrame(pd.DataFrame(
+        {"k": ["z"], "v": [0]})), "t")  # expiry pass runs on commit
+    with pytest.raises(FileNotFoundError, match="expired"):
+        st.read_at(spark, "t", sid)
+    # unknown snapshot / pin targets fail loudly, unpin of absent = noop
+    with pytest.raises(FileNotFoundError):
+        st.read_at(spark, "t", 99)
+    with pytest.raises(FileNotFoundError):
+        st.pin_snapshot("t", "x", snapshot_id=99)
+    st.unpin_snapshot("t", "never-existed")
