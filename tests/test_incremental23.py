@@ -322,3 +322,78 @@ def test_increment_crash_replay_equals_batch(spark, corpus_tables,
         for t in IncrementalKGPipeline.PIN_TABLES:  # pins dropped
             assert IncrementalKGPipeline._WAL_PIN not in (
                 st._load_meta(t).get("pins") or {}), (tag, t)
+
+
+def test_maintain_stream_crash_replay_equals_batch(spark, corpus_tables,
+                                                   tmp_path):
+    """run_kg_maintain_stream: micro-batches flow through
+    ingest_increment so the KB is query-fresh after every trigger.
+    Exactly-once across a crash: a planted store failure mid-FIRST
+    increment (at the stage-1/stage-2 boundary — the dangerous window)
+    fails the streaming query AFTER stage-1 replaced the batch's rows;
+    restarting from the Spark checkpoint redelivers the same file set,
+    the WAL batch signature matches, and the half-committed increment
+    rolls forward. A second trigger then maintains on top. Final KB ==
+    from-scratch batch run over the union."""
+    from softcite_kb_spark.streaming.ingest import run_kg_maintain_stream
+
+    dfs = _load(spark, corpus_tables)
+    convs = sorted(r.conv_id for r in dfs["transcripts"]
+                   .select("conv_id").distinct().collect())
+    boot = set(convs[: int(len(convs) * 0.8)])
+    mid = set(convs[int(len(convs) * 0.8): int(len(convs) * 0.9)])
+    t_a = dfs["transcripts"].filter(F.col("conv_id").isin(boot))
+    t_b1 = dfs["transcripts"].filter(F.col("conv_id").isin(mid))
+    t_b2 = dfs["transcripts"].filter(
+        ~F.col("conv_id").isin(boot | mid))
+    ref = _batch_reference(spark, dfs, str(tmp_path / "ref"),
+                           dfs["transcripts"])
+
+    class _St(TableStore):
+        armed = False
+        fired = False
+
+        def merge(self, df, table, *a, **k):
+            if self.armed and not self.fired \
+                    and table == "folded_by_surface":
+                self.fired = True
+                raise RuntimeError("planted crash")
+            return super().merge(df, table, *a, **k)
+
+    st = _St(str(tmp_path / "kb"))
+    pipe = IncrementalKGPipeline(spark, st, _cfg(), surface_buckets=64)
+    pipe.write_transcripts(t_a)
+    for n in ("authority_entities", "authority_ids"):
+        st.write(dfs[n], n)
+    pipe.bootstrap(resume=False)
+
+    ind = str(tmp_path / "in")
+    chk = str(tmp_path / "chk")
+    t_b1.coalesce(1).write.mode("append").parquet(ind)
+
+    def _stream():
+        return spark.readStream.schema(
+            dfs["transcripts"].schema).option(
+            "maxFilesPerTrigger", 1).parquet(ind)
+
+    st.armed = True
+    q = run_kg_maintain_stream(pipe, _stream(), chk)
+    with pytest.raises(Exception, match="planted crash"):
+        q.awaitTermination(300)
+        raise RuntimeError(str(q.exception()))  # surfaced either way
+    assert "wal" in pipe._load_manifest()["_ingest23"]
+
+    # restart: checkpoint redelivers the interrupted trigger's batch,
+    # the WAL signature matches, and the increment rolls forward
+    q2 = run_kg_maintain_stream(pipe, _stream(), chk)
+    assert q2.awaitTermination(300), "restarted stream did not finish"
+    assert "wal" not in pipe._load_manifest()["_ingest23"]
+
+    # second trigger on the live store (same checkpoint lineage)
+    t_b2.coalesce(1).write.mode("append").parquet(ind)
+    q3 = run_kg_maintain_stream(pipe, _stream(), chk)
+    assert q3.awaitTermination(300)
+
+    assert st.fired  # the crash actually happened mid-increment
+    for t in OUT_TABLES:
+        _assert_tables_equal(spark, ref, st, t)
