@@ -394,3 +394,50 @@ def test_pin_read_at_and_expiry(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         st.pin_snapshot("t", "x", snapshot_id=99)
     st.unpin_snapshot("t", "never-existed")
+
+
+def test_changelog_partition_pruned_and_fallback(spark, tmp_path):
+    """Snapshot changelog (Iceberg changelog-scan analog): row-level
+    insert/delete diff between two snapshots. After a pruned merge the
+    changelog scan must read ONLY the changed partition (shared
+    hardlinked leaves are skipped by inode identity — asserted on the
+    result's input files); unpartitioned tables fall back to a full
+    two-snapshot diff; expired/unknown snapshots fail loudly."""
+    import pytest
+
+    st = TableStore(str(tmp_path / "s"))
+    base = spark.createDataFrame(pd.DataFrame(
+        {"bucket": [0, 0, 1, 1, 2], "k": list("abcde"),
+         "v": [1, 2, 3, 4, 5]}))
+    s1 = st.write(base, "t", partition_by=["bucket"])
+    upd = spark.createDataFrame(pd.DataFrame(
+        {"bucket": [1, 1], "k": ["c", "f"], "v": [30, 6]}))
+    s2 = st.merge(upd, "t", key_cols=["bucket", "k"])
+    assert s2.properties["merge_mode"] == "pruned"
+
+    log = st.changelog(spark, "t", s1.snapshot_id)
+    rows = {(r._change_type, r.bucket, r.k, r.v) for r in log.collect()}
+    assert rows == {("delete", 1, "c", 3),
+                    ("insert", 1, "c", 30),
+                    ("insert", 1, "f", 6)}
+    # pruned: only bucket=1 files are scanned on BOTH sides
+    files = log.inputFiles()
+    assert files and all("bucket=1" in f for f in files)
+
+    # self-diff = empty, schema carries _change_type
+    self_diff = st.changelog(spark, "t", s2.snapshot_id,
+                             s2.snapshot_id)
+    assert self_diff.count() == 0
+    assert "_change_type" in self_diff.columns
+
+    # unpartitioned fallback (full overwrite between snapshots)
+    st.write(spark.createDataFrame(pd.DataFrame(
+        {"k": ["a", "b"], "v": [1, 2]})), "u")
+    st.write(spark.createDataFrame(pd.DataFrame(
+        {"k": ["a", "b"], "v": [1, 20]})), "u")
+    rows = {(r._change_type, r.k, r.v)
+            for r in st.changelog(spark, "u", 1).collect()}
+    assert rows == {("delete", "b", 2), ("insert", "b", 20)}
+
+    with pytest.raises(FileNotFoundError):
+        st.changelog(spark, "t", 99)
