@@ -70,6 +70,22 @@ def worker(cpus: int) -> None:
     from softcite_kb_spark.operators import extraction as ex
     from softcite_kb_spark.session import get_spark
 
+    # Pin the WHOLE process tree (this interpreter + the JVM it spawns —
+    # affinity is inherited across fork/exec) to exactly `cpus` logical
+    # cores. local[N] caps only Spark TASK threads; on an otherwise idle
+    # many-core host the JVM's GC/JIT/IO threads of the low-N leg leak
+    # onto spare cores, making the 2-core leg faster than 2 cores of a
+    # real N-core node and DEFLATING the measured efficiency (observed:
+    # quiet-host samples at 0.56-0.64 vs 0.82-0.90 under load, where
+    # competing load incidentally confined the leak). Pinning makes the
+    # leg behave like a node that actually has N cores — what the
+    # two-cluster-size rule is about. Opt out: SPARK_GRAFT_NO_PIN=1.
+    pinned = False
+    if not os.environ.get("SPARK_GRAFT_NO_PIN") and hasattr(
+            os, "sched_setaffinity"):
+        os.sched_setaffinity(0, range(cpus))
+        pinned = True
+
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus,
                       app_name=f"scaling-{cpus}")
     big = spark.read.parquet(INPUT_DIR)
@@ -107,7 +123,7 @@ def worker(cpus: int) -> None:
     n_triples = n_turns  # one depends_on triple per turn in this corpus
     dt = min(ex_times)
     print(json.dumps({
-        "cpus": cpus, "seconds": round(dt, 3),
+        "cpus": cpus, "pinned": pinned, "seconds": round(dt, 3),
         "extract_rep_seconds": ex_times,
         "fold_rep_seconds": fold_times,
         "fold_seconds": min(fold_times),
