@@ -397,3 +397,46 @@ def test_maintain_stream_crash_replay_equals_batch(spark, corpus_tables,
     assert st.fired  # the crash actually happened mid-increment
     for t in OUT_TABLES:
         _assert_tables_equal(spark, ref, st, t)
+
+
+def test_changelog_feeds_incremental_consumers(spark, corpus_tables,
+                                               tmp_path):
+    """The snapshot changelog is how DOWNSTREAM incremental consumers
+    (index refresh, export sync) ride an increment: for every output
+    table, old snapshot - deletes + inserts == new snapshot (bag
+    semantics), and on the bucketed nodes table the changelog scan
+    reads only the buckets the pruned merge touched — never the whole
+    table."""
+    dfs = _load(spark, corpus_tables)
+    convs = sorted(r.conv_id for r in dfs["transcripts"]
+                   .select("conv_id").distinct().collect())
+    first = set(convs[: int(len(convs) * 0.8)])
+    t_a = dfs["transcripts"].filter(F.col("conv_id").isin(first))
+    t_b = dfs["transcripts"].filter(~F.col("conv_id").isin(first))
+    st, pipe = _inc_pipeline(spark, dfs, str(tmp_path / "inc"), t_a)
+    pre = {t: st.current_snapshot(t).snapshot_id for t in OUT_TABLES}
+    for t in OUT_TABLES:
+        st.pin_snapshot(t, "consumer", pre[t])
+    pipe.ingest_increment(t_b)
+
+    for t in OUT_TABLES:
+        log = st.changelog(spark, t, pre[t])
+        assert log.count() > 0, t  # the increment did change the KB
+        old = st.read_at(spark, t, pre[t])
+        cols = [c for c in old.columns]
+        dels = log.filter(F.col("_change_type") == "delete") \
+            .select(*cols)
+        ins = log.filter(F.col("_change_type") == "insert") \
+            .select(*cols)
+        rebuilt = old.exceptAll(dels).unionByName(ins)
+        new = st.read_at(spark, t,
+                         st.current_snapshot(t).snapshot_id)
+        assert rebuilt.exceptAll(new).isEmpty() and \
+            new.exceptAll(rebuilt).isEmpty(), t
+
+    # pruned scan: the nodes changelog reads a strict subset of buckets
+    nodes_log = st.changelog(spark, "nodes", pre["nodes"])
+    buckets = {f.split("bucket=")[1].split("/")[0]
+               for f in nodes_log.inputFiles()}
+    total = pipe.surface_buckets
+    assert 0 < len(buckets) < total, (len(buckets), total)
