@@ -142,6 +142,20 @@ def snapshot_metadata_sql(ident: str) -> str:
     )
 
 
+def create_tag_sql(ident: str, name: str, snapshot_id: int) -> str:
+    """The statement ``IcebergTableStore.pin_snapshot`` executes —
+    Iceberg named refs (tags) are retained independently of snapshot
+    expiry, which is exactly the contract ``TableStore.pin_snapshot``
+    reproduces for the incremental pipeline's crash-recovery WAL."""
+    return (f"ALTER TABLE {ident} CREATE OR REPLACE TAG "
+            f"{_quote(name)} AS OF VERSION {int(snapshot_id)}")
+
+
+def drop_tag_sql(ident: str, name: str) -> str:
+    """The statement ``IcebergTableStore.unpin_snapshot`` executes."""
+    return f"ALTER TABLE {ident} DROP TAG IF EXISTS {_quote(name)}"
+
+
 class IcebergTableStore:
     """Iceberg-catalog implementation of the store verbs — a
     ``KGPipeline`` drop-in::
@@ -255,6 +269,35 @@ IcebergSparkSessionExtensions
             if r["committed_at"] is not None else time.time(),
             properties={"operation": r["operation"], **summary},
         )
+
+    def pin_snapshot(self, table: str, name: str,
+                     snapshot_id: int | None = None) -> int:
+        """``TableStore.pin_snapshot`` counterpart: an Iceberg TAG —
+        a named ref ``expire_snapshots`` retains independently of the
+        retention window — so the incremental pipeline's WAL pins work
+        unchanged over a real catalog. Re-pinning moves the tag
+        (CREATE OR REPLACE). Returns the pinned snapshot id."""
+        if snapshot_id is None:
+            snap = self.current_snapshot(table)
+            if snap is None:
+                raise FileNotFoundError(
+                    f"table {table!r} has no snapshot to pin")
+            snapshot_id = snap.snapshot_id
+        self.spark.sql(create_tag_sql(self._ident(table), name,
+                                      snapshot_id))
+        return snapshot_id
+
+    def unpin_snapshot(self, table: str, name: str) -> None:
+        """Drop the tag (no-op when absent, like TableStore's)."""
+        self.spark.sql(drop_tag_sql(self._ident(table), name))
+
+    def read_at(self, spark: SparkSession, table: str,
+                snapshot_id: int) -> DataFrame:
+        """Time-travel read (``VERSION AS OF``) — the native version
+        of ``TableStore.read_at``; the snapshot's own reader schema
+        comes free from Iceberg's schema-id tracking."""
+        return (spark.read.option("snapshot-id", str(int(snapshot_id)))
+                .table(self._ident(table)))
 
     def write(self, df: DataFrame, table: str,
               properties: dict[str, Any] | None = None,

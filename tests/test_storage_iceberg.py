@@ -210,3 +210,52 @@ def test_rewrite_data_files_sql_shape():
     # embedded quotes in a table name are escaped, not injected
     sql2 = rewrite_data_files_sql("c", "n", "we'ird")
     assert "'`n`.`we''ird`'" in sql2
+
+
+def test_tag_sql_shapes():
+    """pin/unpin emit Iceberg named-ref DDL: CREATE OR REPLACE TAG
+    (re-pin moves the tag, matching TableStore) AS OF VERSION, and
+    idempotent DROP TAG IF EXISTS."""
+    from softcite_kb_spark.storage_iceberg import (create_tag_sql,
+                                                   drop_tag_sql)
+
+    s = create_tag_sql("cat.kb.t", "ingest23-wal", 42)
+    assert s == ("ALTER TABLE cat.kb.t CREATE OR REPLACE TAG "
+                 "`ingest23-wal` AS OF VERSION 42")
+    assert drop_tag_sql("cat.kb.t", "ingest23-wal") == \
+        "ALTER TABLE cat.kb.t DROP TAG IF EXISTS `ingest23-wal`"
+
+
+def test_pin_unpin_execute_tag_ddl(spark, monkeypatch):
+    """pin_snapshot resolves the current snapshot (explicit id
+    respected) and executes the tag DDL; unpin executes the drop —
+    the verbs the incremental WAL calls, so IncrementalKGPipeline
+    runs unchanged over the Iceberg store."""
+    from softcite_kb_spark.storage_iceberg import IcebergTableStore
+    from softcite_kb_spark.storage import Snapshot
+
+    spark.conf.set("spark.sql.catalog.faketest4",
+                   "org.apache.iceberg.spark.SparkCatalog")
+    store = IcebergTableStore(spark, catalog="faketest4", namespace="kb")
+    stmts = []
+    monkeypatch.setattr(
+        type(spark), "sql",
+        lambda self, s, *a, **kw: stmts.append(s), raising=True)
+    try:
+        monkeypatch.setattr(
+            store, "current_snapshot",
+            lambda t: Snapshot(snapshot_id=7, table=t, path="x",
+                               row_count=1, schema_ddl="",
+                               committed_at=0.0))
+        assert store.pin_snapshot("t", "wal") == 7
+        assert store.pin_snapshot("t", "wal", snapshot_id=3) == 3
+        store.unpin_snapshot("t", "wal")
+    finally:
+        monkeypatch.undo()
+    assert stmts == [
+        "ALTER TABLE `faketest4`.`kb`.`t` CREATE OR REPLACE TAG `wal` "
+        "AS OF VERSION 7",
+        "ALTER TABLE `faketest4`.`kb`.`t` CREATE OR REPLACE TAG `wal` "
+        "AS OF VERSION 3",
+        "ALTER TABLE `faketest4`.`kb`.`t` DROP TAG IF EXISTS `wal`",
+    ]
