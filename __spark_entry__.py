@@ -36,21 +36,40 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a low-split scan across all cores before per-row-heavy
+    compute (hashing/minhash/cosine kernels).
+
+    The testdata parquet files are written as a SINGLE row group even at
+    the larger scale factors, so Spark cannot split the scan: without an
+    exchange the whole downstream expression pipeline runs in one task
+    (measured: q25's minhash stage ran 1-core at sf1.0). Same rationale
+    and shape as the repartition in ``_synthetic_transcripts``; the
+    shuffled bytes are the few MB of input text/vectors, repaid ~32x by
+    the parallel compute stage."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _synthetic_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic transcript table derived from lineitem: one turn per
     line, 'PartX depends on PartY.' — the extraction surface with an exact
     SQL-reconstructible ground truth."""
     li = _t(spark, sf_dir, "lineitem")
-    # the testdata file has ~3 row groups -> at most 3 scan splits; spread
+    # the testdata file has ~6 row groups -> at most 6 scan splits; spread
     # the regex-heavy extraction across all cores (the real pipeline gets
-    # this from its conv_id repartition, plans/pipeline.py)
-    li = li.repartition(spark.sparkContext.defaultParallelism)
+    # this from its conv_id repartition, plans/pipeline.py). HASH on
+    # conv_id, not round-robin: round-robin pays a local sort of the
+    # input first (spark.sql.execution.sortBeforeRepartition, needed for
+    # retry determinism) while a hash exchange is deterministic for free
+    # — and downstream per-conversation groupBys (q24's fold) reuse the
+    # clustering, skipping their own exchange.
+    par = spark.sparkContext.defaultParallelism
     return li.select(
         F.col("l_orderkey").cast("string").alias("conv_id"),
         F.col("l_linenumber").alias("turn_idx"),
         F.concat(F.lit("Part"), F.col("l_partkey"), F.lit(" depends on Part"),
                  F.col("l_suppkey"), F.lit(".")).alias("text"),
-    )
+    ).repartition(par, F.col("conv_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -139,15 +158,22 @@ def q06_supplier_majority_vote(spark, sf_dir):
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.count("*").cast("long").alias("votes"))
     )
-    w = Window.partitionBy("l_partkey")
-    rank = Window.partitionBy("l_partkey").orderBy(
-        F.desc("votes"), F.asc("l_suppkey"))
+    # winner-per-part as a hash aggregation, not a window: the original
+    # sum-over-partition + row_number formulation cost two sorts and a
+    # corpus-wide window pass; max(struct(votes, -suppkey)) picks the
+    # identical winner (max votes, ties -> min suppkey = the row_number
+    # order desc(votes), asc(suppkey) selects) with map-side partial
+    # aggregation and no sort. Equivalence is oracle-checked (q06 hash).
     return (
-        votes.withColumn("total", F.sum("votes").over(w))
-        .withColumn("rn", F.row_number().over(rank))
-        .filter((F.col("rn") == 1) & (F.col("total") >= 10)
-                & (F.col("votes") * 2 > F.col("total")))
-        .select("l_partkey", "l_suppkey", "votes", "total")
+        votes.groupBy("l_partkey")
+        .agg(F.max(F.struct(F.col("votes"),
+                            (-F.col("l_suppkey")).alias("neg_supp"))).alias("w"),
+             F.sum("votes").alias("total"))
+        .filter((F.col("total") >= 10)
+                & (F.col("w.votes") * 2 > F.col("total")))
+        .select("l_partkey",
+                (-F.col("w.neg_supp")).alias("l_suppkey"),
+                F.col("w.votes").alias("votes"), "total")
     )
 
 
@@ -178,12 +204,17 @@ def q08_yearly_order_histogram(spark, sf_dir):
 def q09_latest_event_per_user(spark, sf_dir):
     """W3 pick-latest (rOpenSci_import.py:84-113): row_number over desc order."""
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    # argmax as a hash aggregation: max(struct(ts, event_id, ...)) picks
+    # the same row the original row_number-over-desc window did (event_id
+    # is unique, so (ts, event_id) totally orders a user's events) —
+    # partial aggregation replaces the per-partition sort + window pass.
     return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type",
-                F.round("value", 6).alias("value"))
+        e.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type", "value"))
+             .alias("m"))
+        .select("user_id", F.col("m.event_id").alias("event_id"),
+                F.col("m.event_type").alias("event_type"),
+                F.round(F.col("m.value"), 6).alias("value"))
     )
 
 
@@ -260,7 +291,7 @@ def q13_name_normalization(spark, sf_dir):
 
 def q14_doc_token_stats(spark, sf_dir):
     """Token counting + punctuation/digit ratios (text-analysis op)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return tx.text_stats(d).select(
         "doc_id", "n_tokens", "punct_ratio", "digit_ratio", "sw_en")
 
@@ -279,7 +310,7 @@ def q16_doc_langid(spark, sf_dir):
 
 def q17_doc_fingerprint(spark, sf_dir):
     """Document fingerprinting: md5 over normalized content."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return tx.add_fingerprint(d).select("doc_id", "fingerprint")
 
 
@@ -334,7 +365,7 @@ def q21_emb_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return sim.brute_force_topk(e, q, k=5)
+    return sim.brute_force_topk(_spread(spark, e), q, k=5)
 
 
 def q22_event_hourly_rollup(spark, sf_dir):
@@ -558,7 +589,7 @@ def q25_lsh_candidate_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     planted = d.filter(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text")
-    return dd.lsh_candidate_pairs(d.unionByName(planted),
+    return dd.lsh_candidate_pairs(_spread(spark, d.unionByName(planted)),
                                   num_perm=16, bands=4)
 
 
@@ -568,6 +599,9 @@ def q26_simhash_near_pairs(spark, sf_dir):
         .filter(F.col("doc_id") < 200)
     planted = d.filter(F.col("doc_id") < 25).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    # NOT _spread: this slice is ~225 docs — fanning it over 32 partitions
+    # costs one Arrow python-worker round-trip per partition and measured
+    # 2x slower than letting the 2-split scan carry it
     return dd.simhash_near_pairs(d.unionByName(planted), max_hamming=3)
 
 

@@ -181,13 +181,30 @@ def clean_text(text: Column) -> Column:
     return F.trim(out)
 
 
+# every ASCII char the fingerprint strip removes (the [^a-zA-Z0-9]
+# class restricted to ASCII), for the translate fast path below
+_NON_ALNUM_ASCII = "".join(
+    chr(c) for c in range(0x80)
+    if not (chr(c).isascii() and chr(c).isalnum()))
+
+
 def fingerprint(text: Column) -> Column:
     """Normalized content fingerprint: md5 of lower-cased alnum-only text.
 
     The exact-dedup key (dropDuplicates on it = hash dedup); md5 keeps the
     DuckDB oracle bit-identical.
+
+    The strip runs through ``translate`` (per-char map lookup) whenever
+    the text is pure ASCII (``length == octet_length``) — measured ~5x
+    cheaper than ``regexp_replace`` per char on this host, where the
+    regex append loop dominated q17. Non-ASCII text falls back to the
+    regex, so the two paths delete exactly the same characters.
     """
-    return F.md5(F.lower(F.regexp_replace(text, "[^a-zA-Z0-9]", "")))
+    stripped = F.when(
+        F.length(text) == F.octet_length(text),
+        F.translate(text, _NON_ALNUM_ASCII, ""),
+    ).otherwise(F.regexp_replace(text, "[^a-zA-Z0-9]", ""))
+    return F.md5(F.lower(stripped))
 
 
 def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
