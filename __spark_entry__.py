@@ -103,7 +103,16 @@ def q03_segment_revenue_join(spark, sf_dir):
     """Join chain with broadcast dims (J-family): customer ⋈ orders ⋈ lineitem."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
+    # project lineitem to the three used columns and hash-partition on the
+    # join key BEFORE the broadcast joins: the single-file scan yields ~6
+    # row-group splits, so the join probe + the countDistinct's first-phase
+    # aggregation otherwise run 6-wide; partitioning by l_orderkey also
+    # satisfies the (segment, orderkey) clustering the distinct aggregate
+    # needs, removing that exchange (2 Exchange -> 1 on the heavy side).
+    li = _t(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_extendedprice", "l_discount") \
+        .repartition(spark.sparkContext.defaultParallelism,
+                     F.col("l_orderkey"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -153,8 +162,15 @@ def q06_supplier_majority_vote(spark, sf_dir):
         .withColumn("__r", F.explode(F.array(F.lit(1), F.lit(2))))
         .drop("__r")
     )
+    # hash-partition the vote rows by l_partkey before aggregating: the
+    # ~6-split scan otherwise runs the first-phase aggregation 6-wide, and
+    # partitioning by the partkey prefix satisfies BOTH groupBys' clustering
+    # (the (partkey, suppkey) count AND the per-part winner fold), so one
+    # exchange serves the whole query.
     votes = (
         li.unionByName(planted)
+        .repartition(spark.sparkContext.defaultParallelism,
+                     F.col("l_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.count("*").cast("long").alias("votes"))
     )

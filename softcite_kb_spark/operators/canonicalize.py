@@ -33,11 +33,72 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql import Window as W
 
 from softcite_kb_spark.functions.text import norm_name
 from softcite_kb_spark.materialize import (
     Materializer, local_checkpoint_materializer)
+
+
+#: default edge-count gate for the driver-side CC fast path: below this
+#: many (normalized, distinct) edges the iterative dataframe rounds are
+#: pure fixed cost — ~10 jobs for a graph union-find closes in
+#: microseconds. 100k edges collect to a few MB on the driver.
+CC_LOCAL_EDGE_LIMIT = 100_000
+
+
+def _cc_local(e: DataFrame, limit: int) -> DataFrame | None:
+    """Driver-side union-find over a SMALL normalized edge set.
+
+    The distributed CC rules cost several shuffle rounds regardless of
+    input size (measured ~3.6 s on a 5k-edge match graph, all fixed
+    overhead); below ``limit`` edges the exact same labeling — every
+    edge-endpoint vertex mapped to the MIN member id of its component —
+    is computed from one bounded collect (``limit(n+1)``, so an
+    unexpectedly huge graph can never flood the driver: the probe bails
+    to the distributed path). Ordering note: Python's value comparison
+    agrees with Spark's for the types CC runs on (UTF-8 binary order ==
+    code-point order for strings; numerics trivially).
+
+    Returns ``None`` when the edge set exceeds ``limit`` (caller falls
+    through to the distributed rounds).
+    """
+    if not limit or limit <= 0:
+        return None
+    rows = e.limit(limit + 1).collect()
+    if len(rows) > limit:
+        return None
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        m = comp_min.get(r)
+        if m is None or v < m:
+            comp_min[r] = v
+    out_rows = [(v, comp_min[find(v)]) for v in parent]
+    schema = T.StructType([
+        T.StructField("member_id", e.schema[0].dataType),
+        T.StructField("component_id", e.schema[1].dataType),
+    ])
+    return e.sparkSession.createDataFrame(out_rows, schema)
 
 
 def connected_components(
@@ -47,6 +108,7 @@ def connected_components(
     max_iter: int = 25,
     checkpoint_every: int = 1,
     materializer: Materializer | None = None,
+    local_threshold: int = CC_LOCAL_EDGE_LIMIT,
 ) -> DataFrame:
     """Min-label propagation CC on an undirected edge DataFrame.
 
@@ -70,6 +132,9 @@ def connected_components(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    local = _cc_local(e, local_threshold)
+    if local is not None:
+        return local
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = mat(sym)
 
@@ -155,6 +220,7 @@ def connected_components_star(
     dst: str = "dst",
     max_rounds: int = 50,
     materializer: Materializer | None = None,
+    local_threshold: int = CC_LOCAL_EDGE_LIMIT,
 ) -> DataFrame:
     """Large-star/small-star CC — the cluster-scale update rule.
 
@@ -179,6 +245,9 @@ def connected_components_star(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    local = _cc_local(e, local_threshold)
+    if local is not None:
+        return local
     verts = mat(
         e.select("a").unionByName(e.select(F.col("b").alias("a"))).distinct()
     )

@@ -69,7 +69,9 @@ def test_cc_star_pathological_chain(spark):
     n = 10_000
     pairs = [(f"n{i:05d}", f"n{i + 1:05d}") for i in range(n - 1)]
     df = spark.createDataFrame(pd.DataFrame(pairs, columns=["src", "dst"]))
-    got = cz.connected_components_star(df, max_rounds=25)
+    # local_threshold=0: this test exists to pin the DISTRIBUTED star
+    # rule's O(log n) convergence on the worst-case topology
+    got = cz.connected_components_star(df, max_rounds=25, local_threshold=0)
     comps = got.select("component_id").distinct().collect()
     assert {r.component_id for r in comps} == {"n00000"}
     assert got.count() == n
@@ -87,10 +89,14 @@ def test_cc_star_equals_label_propagation(spark):
              for i in range(120)]
     pairs = [(a, b) for a, b in pairs if a != b]
     df = spark.createDataFrame(pd.DataFrame(pairs, columns=["src", "dst"]))
+    # local_threshold=0 so both DISTRIBUTED update rules are exercised
+    # (the driver-side fast path would otherwise serve both calls)
     lp = {r.member_id: r.component_id
-          for r in cz.connected_components(df, max_iter=40).collect()}
+          for r in cz.connected_components(
+              df, max_iter=40, local_threshold=0).collect()}
     st = {r.member_id: r.component_id
-          for r in cz.connected_components_star(df).collect()}
+          for r in cz.connected_components_star(
+              df, local_threshold=0).collect()}
     assert lp == st == _union_find(pairs)
 
 
@@ -248,8 +254,36 @@ def test_cc_star_refuses_nonconverged(spark):
 
     pairs = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(60)]
     df = spark.createDataFrame(pd.DataFrame(pairs, columns=["src", "dst"]))
+    # local_threshold=0 pins the DISTRIBUTED star rounds — the driver-side
+    # fast path would close this small chain without ever hitting the
+    # round budget (its own equivalence is pinned separately below)
     with pytest.raises(RuntimeError, match="did not converge"):
-        cz.connected_components_star(df, max_rounds=2)
+        cz.connected_components_star(df, max_rounds=2, local_threshold=0)
+
+
+def test_cc_local_fast_path_equals_distributed(spark):
+    """The size-gated driver-side union-find returns the identical
+    labeling as both distributed update rules, and the gate's bounded
+    probe falls through to the distributed path when the edge set
+    exceeds the threshold."""
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"),
+             ("h", "x1"), ("h", "x2"), ("h", "x3"),
+             ("p", "q"),
+             ("z1", "z2"), ("z2", "z3"), ("z1", "z3")]
+    df = spark.createDataFrame(pd.DataFrame(pairs, columns=["src", "dst"]))
+    local = {r.member_id: r.component_id
+             for r in cz.connected_components_star(df).collect()}
+    dist_star = {r.member_id: r.component_id
+                 for r in cz.connected_components_star(
+                     df, local_threshold=0).collect()}
+    dist_lp = {r.member_id: r.component_id
+               for r in cz.connected_components(
+                   df, local_threshold=0).collect()}
+    assert local == dist_star == dist_lp == _union_find(pairs)
+    # threshold smaller than the edge count -> distributed path taken
+    # (observable: same labeling, and _cc_local itself returns None)
+    e = df.selectExpr("src as a", "dst as b").distinct()
+    assert cz._cc_local(e, 3) is None
 
 
 def test_build_nodes_label_most_frequent_raw(spark):
