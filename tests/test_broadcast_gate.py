@@ -166,3 +166,34 @@ def test_pipeline_authority_broadcast_never_matches_always(
     for t in ("linked_mentions", "statements", "nodes", "edges"):
         _multiset_equal(outs["always"].read(spark, t),
                         outs["never"].read(spark, t))
+
+
+def test_broadcast_probe_cached_per_authority_snapshot(
+        spark, tmp_path, monkeypatch):
+    """Under authority_broadcast="auto" a 3-stage run pays exactly ONE
+    O(authority) probe (VERDICT r05 #5): the decision is cached keyed by
+    the authority snapshot ids, and invalidates when the authority
+    advances."""
+    calls = {"n": 0}
+    real = lk.authority_fits_broadcast
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(lk, "authority_fits_broadcast", counting)
+    tables = datagen.build_corpus(n_conversations=20)
+    st = TableStore(str(tmp_path / "kb"))
+    cfg = PipelineConfig(blacklist=tuple(datagen.BLACKLIST),
+                         min_vote_total=1, authority_broadcast="auto")
+    pipe = KGPipeline(spark, st, cfg)
+    st.write(spark.createDataFrame(tables["transcripts"]), "transcripts")
+    for n in ("authority_entities", "authority_ids"):
+        st.write(spark.createDataFrame(tables[n]), n)
+    pipe.run(resume=False)
+    assert calls["n"] == 1
+    # a NEW authority snapshot must re-probe (cache keyed by snapshot id)
+    st.write(spark.createDataFrame(tables["authority_entities"]),
+             "authority_entities")
+    pipe._broadcast_decision(st.read(spark, "authority_entities"))
+    assert calls["n"] == 2
