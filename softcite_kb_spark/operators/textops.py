@@ -60,17 +60,23 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         df.withColumn("__toks", nonempty_tokens(F.col(text_col)))
         .withColumn("n_tokens", F.size("__toks"))
         .withColumn("n_chars_calc", F.length(text_col))
+        # the ratios count occurrences of FIXED ASCII character sets —
+        # length(translate(...)) deletes exactly the same characters the
+        # regex classes match, at per-char map-lookup cost instead of a
+        # regex append loop (the dominant q14 cost on this host)
         .withColumn(
             "punct_ratio",
             F.round(
                 (F.length(text_col)
-                 - F.length(F.regexp_replace(F.col(text_col), _PUNCT_CLASS, "")))
+                 - F.length(F.translate(F.col(text_col),
+                                        ".,;:!?'\"()[]-", "")))
                 / F.greatest(F.length(text_col), F.lit(1)), 6))
         .withColumn(
             "digit_ratio",
             F.round(
                 (F.length(text_col)
-                 - F.length(F.regexp_replace(F.col(text_col), "[0-9]", "")))
+                 - F.length(F.translate(F.col(text_col),
+                                        "0123456789", "")))
                 / F.greatest(F.length(text_col), F.lit(1)), 6))
     )
     for lang, words in (("en", STOPWORDS_EN), ("de", STOPWORDS_DE),

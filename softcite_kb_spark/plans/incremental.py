@@ -124,10 +124,23 @@ class IncrementalKGPipeline(KGPipeline):
 
     # -- helpers ----------------------------------------------------------
     def _mat(self):
-        from softcite_kb_spark.materialize import (
-            local_checkpoint_materializer)
+        if self.materializer is not None:
+            return self.materializer
 
-        return self.materializer or local_checkpoint_materializer
+        # LAZY local checkpoint (vs the eager module default): an
+        # increment takes ~20 barriers, and an eager checkpoint is a
+        # full Spark job each — measured as the dominant share of the
+        # increment's fixed cost. A lazy checkpoint materializes inside
+        # the FIRST consumer's job and is cached for the rest (the
+        # block manager's per-block compute locks make concurrent first
+        # consumers safe), so the barrier keeps its
+        # compute-once/lineage-cut contract without its own job. The
+        # eager default remains right for iterative CC rounds, which
+        # probe each round's result immediately.
+        def lazy_local_checkpoint(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=False)
+
+        return lazy_local_checkpoint
 
     def _with_sbucket(self, df: DataFrame, col: str = "norm_surface",
                       name: str = "bucket",
@@ -464,24 +477,39 @@ class IncrementalKGPipeline(KGPipeline):
         new_triples = mat(
             self._conv_pruned("triples", batch_keys,
                               buckets=conv_bks).drop("bucket"))
-        self._merge_surface_projection(
-            "folded_by_surface", self._with_sbucket(new_slice),
-            old_keys=old_folded_pairs, key_col="norm_surface")
-        self._merge_surface_projection(
-            "triples_by_subj",
-            self._with_sbucket(self._norm_subj(new_triples)),
-            old_keys=self._norm_pairs(self._norm_subj(old_triples)
-                                      .select("norm_surface", "conv_id")),
-            key_col="norm_surface")
-        self._merge_surface_projection(
-            "triples_by_obj",
-            self._with_sbucket(self._norm_obj(new_triples),
-                               col="norm_obj"),
-            old_keys=self._norm_pairs(
-                self._norm_obj(old_triples)
-                .select(F.col("norm_obj").alias("norm_surface"),
-                        "conv_id")),
-            key_col="norm_obj")
+        # the three surface-layout projections are INDEPENDENT tables fed
+        # by the same materialized batch frames — overlap their merge
+        # commits from driver threads (each commit is mostly fixed cost:
+        # affected-partition probe + write + hardlink carry-over), same
+        # pattern as stage_canonicalize's statements/edges overlap
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(
+                    self._merge_surface_projection,
+                    "folded_by_surface", self._with_sbucket(new_slice),
+                    old_folded_pairs, "norm_surface"),
+                pool.submit(
+                    self._merge_surface_projection,
+                    "triples_by_subj",
+                    self._with_sbucket(self._norm_subj(new_triples)),
+                    self._norm_pairs(self._norm_subj(old_triples)
+                                     .select("norm_surface", "conv_id")),
+                    "norm_surface"),
+                pool.submit(
+                    self._merge_surface_projection,
+                    "triples_by_obj",
+                    self._with_sbucket(self._norm_obj(new_triples),
+                                       col="norm_obj"),
+                    self._norm_pairs(
+                        self._norm_obj(old_triples)
+                        .select(F.col("norm_obj").alias("norm_surface"),
+                                "conv_id")),
+                    "norm_obj"),
+            ]
+            for f in futs:
+                f.result()
 
         # ---- T: touched surfaces ----
         T = mat(new_slice.select("norm_surface").distinct().unionByName(
@@ -595,9 +623,9 @@ class IncrementalKGPipeline(KGPipeline):
 
         stmts = cz.fold_statements(triples_slice, canon_slice,
                                    source=self.config.source_name)
-        self.store.merge(self._with_sbucket(stmts, col="canonical_id"),
-                         "statements", key_cols=["bucket", "canonical_id"],
-                         delete_keys=k_del)
+        # statements merge is submitted with the edges/nodes commits at
+        # the end of this method — the three output tables are disjoint
+        # and their merge jobs overlap (fixed commit cost dominates)
 
         # old edge rows of the affected canonicals (pre-merge) for the
         # authority-reference refcount delta
@@ -607,9 +635,21 @@ class IncrementalKGPipeline(KGPipeline):
             .join(K_all.withColumnRenamed("canonical_id", "src_id"),
                   "src_id", "left_semi").drop("bucket"))
         # dst resolution needs canon rows for the slice's OBJECT
-        # surfaces too — one more pruned read over their buckets
-        obj_surfaces = self._norm_obj(triples_slice) \
-            .select(F.col("norm_obj").alias("norm_surface")).distinct()
+        # surfaces too — one more pruned read over their buckets.
+        # Two exact restrictions collapse that read (round-5 verdict #2:
+        # it previously touched 63/64 buckets):
+        #   * surfaces already in S* are fully covered by canon_slice
+        #     (folded_slice holds every group of every S* surface), so
+        #     only OUT-of-slice object surfaces need the stored rows;
+        #   * a surface with no new_canon row has no folded group
+        #     anywhere, hence no canonical_map row — reading its bucket
+        #     can contribute nothing (the dst join misses and falls to
+        #     the authority/v-hash path exactly as before).
+        obj_surfaces = (self._norm_obj(triples_slice)
+                        .select(F.col("norm_obj").alias("norm_surface"))
+                        .distinct()
+                        .join(S_star, "norm_surface", "left_anti")
+                        .join(new_canon, "norm_surface", "left_semi"))
         canon_for_dst = (self._pruned_read("canonical_map", obj_surfaces)
                          .drop("bucket")
                          .select("conv_id", "norm_surface",
@@ -620,12 +660,6 @@ class IncrementalKGPipeline(KGPipeline):
         edges_slice = mat(cz.build_edges(
             triples_slice, canon_for_edges,
             authority_keys=lk.authority_block_keys(auth), broadcast=bc))
-        self.store.merge(self._with_sbucket(edges_slice, col="src_id"),
-                         "edges", key_cols=["bucket", "src_id"],
-                         delete_keys=self._with_sbucket(
-                             K_all.withColumnRenamed(
-                                 "canonical_id", "src_id"),
-                             col="src_id", shuffle=False))
 
         # ---- auth refcounts + authority-extra node rows ----
         def _ref_counts(e):
@@ -651,7 +685,6 @@ class IncrementalKGPipeline(KGPipeline):
                     (F.coalesce("nrefs", F.lit(0))
                      + F.coalesce("d", F.lit(0))).alias("nrefs"))
             .filter(F.col("nrefs") > 0))
-        self.store.write(refs_new, "auth_refs")
 
         nodes_slice = cz.build_nodes(canon_slice,
                                      authority_entities=auth,
@@ -700,12 +733,42 @@ class IncrementalKGPipeline(KGPipeline):
         e_aff_canon = e_aff.select(
             F.concat(F.lit("e:"), F.col("entity_id"))
             .alias("canonical_id"))
-        self.store.merge(
-            self._with_sbucket(nodes_in, col="canonical_id"), "nodes",
-            key_cols=["bucket", "canonical_id"],
-            delete_keys=self._with_sbucket(
-                K_all.unionByName(e_aff_canon).distinct(),
-                col="canonical_id", shuffle=False))
+
+        # ---- the three disjoint output commits, overlapped ----
+        # statements / edges / (auth_refs + nodes) touch different tables
+        # and read only pinned snapshots or materialized slice frames, so
+        # their commit jobs overlap safely; auth_refs precedes nodes in
+        # its thread only because both are consumers of refs_new (a lazy
+        # checkpoint the block manager computes once)
+        def _commit_statements():
+            self.store.merge(
+                self._with_sbucket(stmts, col="canonical_id"),
+                "statements", key_cols=["bucket", "canonical_id"],
+                delete_keys=k_del)
+
+        def _commit_edges():
+            self.store.merge(
+                self._with_sbucket(edges_slice, col="src_id"),
+                "edges", key_cols=["bucket", "src_id"],
+                delete_keys=self._with_sbucket(
+                    K_all.withColumnRenamed("canonical_id", "src_id"),
+                    col="src_id", shuffle=False))
+
+        def _commit_refs_nodes():
+            self.store.write(refs_new, "auth_refs")
+            self.store.merge(
+                self._with_sbucket(nodes_in, col="canonical_id"), "nodes",
+                key_cols=["bucket", "canonical_id"],
+                delete_keys=self._with_sbucket(
+                    K_all.unionByName(e_aff_canon).distinct(),
+                    col="canonical_id", shuffle=False))
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [pool.submit(_commit_statements),
+                    pool.submit(_commit_edges),
+                    pool.submit(_commit_refs_nodes)]
+            for f in futs:
+                f.result()
 
         # ---- manifest ----
         m = self._load_manifest()

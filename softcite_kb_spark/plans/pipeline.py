@@ -434,13 +434,29 @@ class KGPipeline:
                                                "left_anti"))
         new_triples = None
         if replaced_keys is None or not new_batch.isEmpty():
+            from concurrent.futures import ThreadPoolExecutor
+
             nb = new_batch.repartition(par, "conv_id")
             new_triples = mat(ex.extract_triples(nb, self._blacklist_df()))
             new_mentions = mat(ex.mentions_from_triples(new_triples))
+            # transcripts MUST commit first and alone: replay idempotence
+            # rests on "batch convs present in transcripts -> replacement
+            # path (idempotent merges)"; a derived append landing before
+            # the transcripts append would double-append on replay. The
+            # three DERIVED tables are then independent and overlap
+            # safely (each is mostly fixed job cost at increment sizes;
+            # same pattern as stage_canonicalize).
             commit_append(new_batch, "transcripts")
-            commit_append(new_triples, "triples")
-            commit_append(new_mentions, "mentions")
-            commit_append(ex.fold_mentions(new_mentions), "folded_mentions")
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                futs = [
+                    pool.submit(commit_append, new_triples, "triples"),
+                    pool.submit(commit_append, new_mentions, "mentions"),
+                    pool.submit(commit_append,
+                                ex.fold_mentions(new_mentions),
+                                "folded_mentions"),
+                ]
+                for f in futs:
+                    f.result()
 
         repl_triples = None
         if replaced_keys is not None:
@@ -462,13 +478,24 @@ class KGPipeline:
                                                   self._blacklist_df()))
             repl_mentions = mat(ex.mentions_from_triples(repl_triples))
             dkeys = with_bucket(replaced_keys)
-            self.store.merge(with_bucket(repl_triples), "triples",
-                             key_cols=keys, delete_keys=dkeys)
-            self.store.merge(with_bucket(repl_mentions), "mentions",
-                             key_cols=keys, delete_keys=dkeys)
-            self.store.merge(with_bucket(ex.fold_mentions(repl_mentions)),
-                             "folded_mentions", key_cols=keys,
-                             delete_keys=dkeys)
+            # three independent replacement merges (the transcripts
+            # upsert above had to come first — the recompute reads the
+            # post-merge turn sets), overlapped like the append path
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                futs = [
+                    pool.submit(self.store.merge, with_bucket(repl_triples),
+                                "triples", keys, None, dkeys),
+                    pool.submit(self.store.merge,
+                                with_bucket(repl_mentions), "mentions",
+                                keys, None, dkeys),
+                    pool.submit(self.store.merge,
+                                with_bucket(ex.fold_mentions(repl_mentions)),
+                                "folded_mentions", keys, None, dkeys),
+                ]
+                for f in futs:
+                    f.result()
 
         # OPERATIONAL ALERT (VERDICT r03 #8): a bucketed store whose
         # increment merges silently fall back to full rewrites is the
