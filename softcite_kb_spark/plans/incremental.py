@@ -121,6 +121,9 @@ class IncrementalKGPipeline(KGPipeline):
         self.last_read_buckets: dict[str, list] = {}
         # {table: pinned snapshot id} of the in-flight increment's WAL
         self._wal_pins: dict[str, int] = {}
+        # in-flight background commit futures (joined on success AND on
+        # failure — see ingest_increment)
+        self._bg_futures: list = []
 
     # -- helpers ----------------------------------------------------------
     def _mat(self):
@@ -435,7 +438,20 @@ class IncrementalKGPipeline(KGPipeline):
             m["_ingest23"]["wal"] = {"sig": sig, "pins": self._wal_pins,
                                      "started_at": time.time()}
             self._save_manifest(m)
-        out = self._apply_increment(new_transcripts)
+        try:
+            out = self._apply_increment(new_transcripts)
+        except BaseException:
+            # a failure mid-increment must not leave a FLOATING background
+            # commit racing a subsequent replay's merge of the same table
+            # (two concurrent merges could contend for one snapshot dir) —
+            # join any in-flight background commits before surfacing
+            for f in getattr(self, "_bg_futures", []):
+                try:
+                    f.result()
+                except Exception:
+                    pass
+            self._bg_futures = []
+            raise
         m = self._load_manifest()
         m["_ingest23"].pop("wal", None)
         self._save_manifest(m)
@@ -556,15 +572,23 @@ class IncrementalKGPipeline(KGPipeline):
         new_canon = mat(self._surface_canon_from_state(
             accepted_full, stats_full))
         C = self._changed_keys(old_canon, new_canon)
-        self.store.merge(
+        # surface_canon is a SINK within the increment (every later step
+        # reads new_canon / the pinned old_canon, never the table), so its
+        # merge floats on a background thread and is joined before the
+        # manifest write — overlapping the whole K/S*/slice phase
+        bg_pool = ThreadPoolExecutor(max_workers=2)
+        self._bg_futures = []
+        sc_future = bg_pool.submit(
+            self.store.merge,
             self._with_sbucket(new_canon.join(
                 mat(C.unionByName(T).distinct()), "norm_surface",
                 "left_semi")),
-            "surface_canon", key_cols=["bucket", "norm_surface"],
-            delete_keys=self._with_sbucket(
+            "surface_canon", ["bucket", "norm_surface"], None,
+            self._with_sbucket(
                 old_canon.select("norm_surface")
                 .join(new_canon, "norm_surface", "left_anti"),
                 shuffle=False))
+        self._bg_futures.append(sc_future)
 
         # ---- affected canonicals K and the surface closure S* ----
         A = mat(T.unionByName(D).unionByName(C).distinct())
@@ -606,14 +630,21 @@ class IncrementalKGPipeline(KGPipeline):
             folded_slice, accepted_now, new_canon))
 
         # ---- canonical_map rows for changed/touched surfaces ----
+        # also a background commit: the only in-increment reader of the
+        # canonical_map TABLE is the dst-resolution read below, which is
+        # restricted to surfaces OUTSIDE S* — rows the merge carries over
+        # byte-identically — so pre-/post-merge reads are equivalent and
+        # the commit overlaps the edges/nodes build
         tc = mat(T.unionByName(C).distinct())
-        self.store.merge(
+        cm_future = bg_pool.submit(
+            self.store.merge,
             self._with_sbucket(
                 canon_slice.join(tc, "norm_surface", "left_semi")),
-            "canonical_map", key_cols=["bucket", "norm_surface"],
-            delete_keys=self._with_sbucket(
+            "canonical_map", ["bucket", "norm_surface"], None,
+            self._with_sbucket(
                 tc.join(canon_slice, "norm_surface", "left_anti"),
                 shuffle=False))
+        self._bg_futures.append(cm_future)
 
         # ---- statements / nodes / edges slices via batch operators ----
         auth = self.store.read(spark, "authority_entities")
@@ -769,6 +800,12 @@ class IncrementalKGPipeline(KGPipeline):
                     pool.submit(_commit_refs_nodes)]
             for f in futs:
                 f.result()
+        # join the floating surface_canon / canonical_map commits before
+        # the WAL entry clears (every commit must be durable first)
+        sc_future.result()
+        cm_future.result()
+        bg_pool.shutdown()
+        self._bg_futures = []
 
         # ---- manifest ----
         m = self._load_manifest()

@@ -269,11 +269,21 @@ class KGPipeline:
         triples = ex.extract_triples(transcripts, self._blacklist_df())
         self._write_stage1(triples, "triples")
         triples = self.store.read(self.spark, "triples")  # re-read: cut lineage
-        mentions = ex.mentions_from_triples(triples.drop("bucket"))
-        self._write_stage1(mentions, "mentions")
-        folded = ex.fold_mentions(
-            self.store.read(self.spark, "mentions").drop("bucket"))
-        self._write_stage1(folded, "folded_mentions")
+        # one materialized mentions frame feeds BOTH commits: folding from
+        # the checkpointed frame (instead of reading the just-written
+        # mentions table back) yields identical rows and lets the two
+        # independent table commits overlap (fixed commit cost dominates
+        # at this stage's row counts)
+        mentions = ex.mentions_from_triples(triples.drop("bucket")) \
+            .localCheckpoint(eager=False)
+        folded = ex.fold_mentions(mentions)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fm = pool.submit(self._write_stage1, mentions, "mentions")
+            ff = pool.submit(self._write_stage1, folded, "folded_mentions")
+            fm.result()
+            ff.result()
         self._write_metrics("extract", self.store.read(self.spark, "triples"),
                             "triples")
 
