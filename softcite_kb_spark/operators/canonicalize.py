@@ -132,7 +132,10 @@ def connected_components(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    local = _cc_local(e, local_threshold)
+    # fast path only under the DEFAULT barrier: an explicitly injected
+    # materializer (scratch tables on a cluster) is the caller opting
+    # into the durable distributed rounds — honor it
+    local = _cc_local(e, local_threshold) if materializer is None else None
     if local is not None:
         return local
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -245,7 +248,8 @@ def connected_components_star(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    local = _cc_local(e, local_threshold)
+    # default-barrier-only, like connected_components (see there)
+    local = _cc_local(e, local_threshold) if materializer is None else None
     if local is not None:
         return local
     verts = mat(

@@ -27,10 +27,15 @@ def _edges(spark):
 
 
 def test_star_cc_scratch_equals_local_checkpoint(spark, scratch):
+    # local_threshold=0: this test pins the DISTRIBUTED rounds' barrier
+    # contract — the driver-side fast path would close this small graph
+    # without ever materializing a round (its equivalence is pinned in
+    # test_canonicalize.test_cc_local_fast_path_equals_distributed)
     e = _edges(spark)
-    a = sorted(map(tuple, cz.connected_components_star(e).collect()))
+    a = sorted(map(tuple, cz.connected_components_star(
+        e, local_threshold=0).collect()))
     b = sorted(map(tuple, cz.connected_components_star(
-        e, materializer=scratch).collect()))
+        e, materializer=scratch, local_threshold=0).collect()))
     assert a == b
     # the barrier actually ran through the store (rounds > 0)
     assert scratch._n > 0
@@ -38,9 +43,11 @@ def test_star_cc_scratch_equals_local_checkpoint(spark, scratch):
 
 def test_label_prop_cc_scratch_equals_local_checkpoint(spark, scratch):
     e = _edges(spark)
-    a = sorted(map(tuple, cz.connected_components(e, max_iter=40).collect()))
+    a = sorted(map(tuple, cz.connected_components(
+        e, max_iter=40, local_threshold=0).collect()))
     b = sorted(map(tuple, cz.connected_components(
-        e, max_iter=40, materializer=scratch).collect()))
+        e, max_iter=40, materializer=scratch,
+        local_threshold=0).collect()))
     assert a == b
     assert scratch._n > 0
 
