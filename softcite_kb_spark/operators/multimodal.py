@@ -1451,28 +1451,38 @@ def resize_media(df: DataFrame, target: tuple[int, int] = (32, 32)) -> DataFrame
                    "n_bytes": [], "checksum": [], "target_width": [],
                    "target_height": [], "resized_checksum": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                # the WHOLE per-row decode+resample sits in the try:
+                # a gry8 container whose stsz disagrees with its tkhd
+                # dimensions passes _decode_bytes but raises in the pixel
+                # decode, and a zero-dimension container raises in the
+                # resample — either way one crafted row must be DROPPED
+                # (the documented poison tolerance), never kill the stage
+                # (round-5 ADVICE, high).
                 try:
                     b = bytes(payload) if payload is not None else None
                     kind, w, h, cs = _decode_bytes(b)
-                except (ValueError, TypeError):
+                    rcs = None
+                    px = None
+                    if b[:2] == b"BM":
+                        px = _decode_bmp_pixels(b)
+                    elif b[:8] == PNG_SIG:
+                        px = _decode_png_pixels(b)
+                    elif b[:2] == b"\xff\xd8":
+                        px = _decode_jpeg_pixels(b)
+                    elif b[4:8] == b"ftyp":
+                        # real pixels only for the uncompressed gry8
+                        # fourcc; opaque codecs keep NULL resized_checksum
+                        px = _mp4_first_frame_pixels(b)
+                    if px is not None:
+                        if w <= 0 or h <= 0:
+                            raise ValueError(
+                                "non-positive dimensions in pixel payload")
+                        yi = (np.arange(th) * h) // th
+                        xi = (np.arange(tw) * w) // tw
+                        res = px[yi][:, xi]
+                        rcs = int(res.sum(dtype="int64")) % (2**31)
+                except (ValueError, TypeError, IndexError):
                     continue
-                rcs = None
-                px = None
-                if b[:2] == b"BM":
-                    px = _decode_bmp_pixels(b)
-                elif b[:8] == PNG_SIG:
-                    px = _decode_png_pixels(b)
-                elif b[:2] == b"\xff\xd8":
-                    px = _decode_jpeg_pixels(b)
-                elif b[4:8] == b"ftyp":
-                    # real pixels only for the uncompressed gry8
-                    # fourcc; opaque codecs keep NULL resized_checksum
-                    px = _mp4_first_frame_pixels(b)
-                if px is not None:
-                    yi = (np.arange(th) * h) // th
-                    xi = (np.arange(tw) * w) // tw
-                    res = px[yi][:, xi]
-                    rcs = int(res.sum(dtype="int64")) % (2**31)
                 out["media_id"].append(mid)
                 out["kind"].append(kind)
                 out["width"].append(w)

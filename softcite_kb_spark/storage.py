@@ -169,6 +169,14 @@ class TableStore:
         difference. Both snapshots must still be on disk (pin them —
         ``pin_snapshot`` — to diff past the retention window).
 
+        RESTRICTION (round-5 ADVICE): the diff is ``exceptAll``-based,
+        which Spark rejects for MAP-typed columns (AnalysisException) —
+        tables carrying map columns (e.g. the media tables' ``meta``)
+        cannot be changelog-scanned as-is. Project maps away (or to a
+        deterministic encoding) before calling; an automatic ``to_json``
+        projection is deliberately NOT applied here because JSON key
+        order for maps is unspecified and would surface false diffs.
+
         Scale: for partitioned tables the scan is PRUNED to the
         partitions whose data files actually differ — merge()/append()
         hardlink untouched leaves, so shared leaves are detected by

@@ -1149,3 +1149,30 @@ def test_mp4_resize_real_first_frame(spark):
     assert (got[1].width, got[1].height) == (w, h)
     assert got[2].resized_checksum is None  # opaque codec, real metadata
     assert (got[2].width, got[2].height) == (w, h)
+
+
+def test_mp4_resize_poison_gry8_dropped(spark):
+    """Round-5 ADVICE (high): a gry8 container whose first stsz entry
+    disagrees with tkhd width*height passes _decode_bytes but fails in
+    the pixel decode, and a zero-dimension gry8 container decodes to a
+    (0,0) array whose resample would index out of bounds — both rows
+    must be DROPPED by resize_media (documented poison tolerance), and
+    a good row in the same batch must survive."""
+    w, h = 6, 4
+    good = multimodal.encode_mp4([bytes([5]) * (w * h)], w, h)
+    # first frame one byte short of width*height
+    mismatched = multimodal.encode_mp4([bytes([7]) * (w * h - 1)], w, h)
+    # zero-dimension container with a consistent (empty) first sample
+    zerodim = multimodal.encode_mp4([b""], 0, 0)
+    rows = [(1, "video", bytearray(good), {"declared_width": w,
+                                           "declared_height": h}),
+            (2, "video", bytearray(mismatched), {"declared_width": w,
+                                                 "declared_height": h}),
+            (3, "video", bytearray(zerodim), {"declared_width": 0,
+                                              "declared_height": 0})]
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload",
+                                      "meta"])
+    df = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_media(df, target=(3, 3)).collect()
+    assert [r.media_id for r in out] == [1]
+    assert out[0].resized_checksum == (3 * 3 * 5) % (2**31)
