@@ -638,26 +638,27 @@ class KGPipeline:
         canon = self.store.read(self.spark, "canonical_map")
         stmts = cz.fold_statements(triples, canon, source=self.config.source_name)
         nodes = cz.build_nodes(canon, authority_entities=auth, broadcast=bc)
+        # one materialized edges frame feeds BOTH its own commit and the
+        # node augmentation (identical rows to the previous
+        # write-then-read-back, lineage still cut by the checkpoint) —
+        # so statements / edges / nodes are all independent functions of
+        # the committed canonical_map snapshot and their commit jobs
+        # overlap (guide-standard concurrent-jobs pattern; commits touch
+        # different tables/meta files). Output snapshots are
+        # byte-identical to the sequential order.
         edges = cz.build_edges(triples, canon,
                                authority_keys=lk.authority_block_keys(auth),
-                               broadcast=bc)
-        # statements and edges are INDEPENDENT functions of the committed
-        # canonical_map snapshot — overlap their write jobs so the second
-        # job's tasks back-fill the first's straggler tail (guide-standard
-        # concurrent-jobs pattern; Spark's scheduler runs both, commits
-        # touch different tables/meta files). Output snapshots are
-        # byte-identical to the sequential order.
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            fs = pool.submit(self.store.write, stmts, "statements")
-            fe = pool.submit(self.store.write, edges, "edges")
-            fs.result()
-            fe.result()
-        edges = self.store.read(self.spark, "edges")
+                               broadcast=bc).localCheckpoint(eager=False)
         nodes = cz.augment_nodes_with_authority(nodes, edges, auth,
                                                 broadcast=bc)
-        self.store.write(nodes, "nodes")
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [pool.submit(self.store.write, stmts, "statements"),
+                    pool.submit(self.store.write, edges, "edges"),
+                    pool.submit(self.store.write, nodes, "nodes")]
+            for f in futs:
+                f.result()
         self._write_metrics("canonicalize",
                             self.store.read(self.spark, "nodes"), "nodes")
 
