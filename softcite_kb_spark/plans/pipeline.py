@@ -279,13 +279,18 @@ class KGPipeline:
         folded = ex.fold_mentions(mentions)
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
+        # the metrics rollup reads the triples SNAPSHOT committed above
+        # (the re-read frame IS that snapshot), so it is independent of
+        # the mentions/folded commits and overlaps with them — one fewer
+        # sequential job wave per run (fixed job cost dominates here)
+        with ThreadPoolExecutor(max_workers=3) as pool:
             fm = pool.submit(self._write_stage1, mentions, "mentions")
             ff = pool.submit(self._write_stage1, folded, "folded_mentions")
+            fx = pool.submit(self._write_metrics, "extract", triples,
+                             "triples")
             fm.result()
             ff.result()
-        self._write_metrics("extract", self.store.read(self.spark, "triples"),
-                            "triples")
+            fx.result()
 
     def ingest_increment(self, new_transcripts: DataFrame) -> dict:
         """Incremental re-import (the reference's idempotent
@@ -631,21 +636,22 @@ class KGPipeline:
         triples = self.store.read(self.spark, "triples").drop("bucket")
         auth = self.store.read(self.spark, "authority_entities")
         bc = self._broadcast_decision(auth)
+        # one materialized canonical-map frame feeds its own commit AND
+        # the three downstream builds (identical rows to the previous
+        # write-then-read-back — the lazy checkpoint computes CC once,
+        # block-manager locks serialize concurrent first consumers, and
+        # every consumer is order-insensitive relational fold/join work).
+        # With statements/edges/nodes also pure functions of that frame,
+        # all FOUR table commits are independent and overlap (guide
+        # concurrent-jobs pattern; commits touch different tables/meta
+        # files). Output snapshots are content-identical to the
+        # sequential order.
         canon = cz.canonical_map(linked, max_iter=self.config.cc_max_iter,
                                  algorithm=self.config.cc_algorithm,
-                                 materializer=self.materializer)
-        self.store.write(canon, "canonical_map")
-        canon = self.store.read(self.spark, "canonical_map")
+                                 materializer=self.materializer) \
+            .localCheckpoint(eager=False)
         stmts = cz.fold_statements(triples, canon, source=self.config.source_name)
         nodes = cz.build_nodes(canon, authority_entities=auth, broadcast=bc)
-        # one materialized edges frame feeds BOTH its own commit and the
-        # node augmentation (identical rows to the previous
-        # write-then-read-back, lineage still cut by the checkpoint) —
-        # so statements / edges / nodes are all independent functions of
-        # the committed canonical_map snapshot and their commit jobs
-        # overlap (guide-standard concurrent-jobs pattern; commits touch
-        # different tables/meta files). Output snapshots are
-        # byte-identical to the sequential order.
         edges = cz.build_edges(triples, canon,
                                authority_keys=lk.authority_block_keys(auth),
                                broadcast=bc).localCheckpoint(eager=False)
@@ -653,8 +659,9 @@ class KGPipeline:
                                                 broadcast=bc)
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            futs = [pool.submit(self.store.write, stmts, "statements"),
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = [pool.submit(self.store.write, canon, "canonical_map"),
+                    pool.submit(self.store.write, stmts, "statements"),
                     pool.submit(self.store.write, edges, "edges"),
                     pool.submit(self.store.write, nodes, "nodes")]
             for f in futs:
