@@ -104,8 +104,11 @@ class KGPipeline:
         self.materializer = materializer
         self._manifest_path = os.path.join(store.root, "_manifest.json")
         # broadcast-gate probe cache: {authority snapshot-id key: bool}
-        # (one O(authority) count per snapshot, not per stage)
+        # (one O(authority) count per snapshot, not per stage); probes
+        # in flight on a background thread live in _bc_probe_futures
+        # until a consumer joins them (see _prewarm_broadcast_decision)
         self._bc_probe_cache: dict[tuple, bool] = {}
+        self._bc_probe_futures: dict = {}
 
     # -- manifest ---------------------------------------------------------
     def _load_manifest(self) -> dict:
@@ -573,28 +576,61 @@ class KGPipeline:
             self._save_manifest(m)
         return snap
 
+    def _bc_key(self) -> tuple:
+        return tuple(
+            (t, snap.snapshot_id if snap else -1)
+            for t in ("authority_entities", "authority_ids")
+            for snap in [self.store.current_snapshot(t)
+                         if self.store.exists(t) else None])
+
     def _broadcast_decision(self, auth, ids=None) -> bool:
         """One probe per AUTHORITY SNAPSHOT under "auto" (VERDICT r05 #5):
         the decision is cached keyed by the authority tables' current
         snapshot ids, so a 3-stage run pays one count job instead of
         three O(authority) probes; the concrete bool is then passed to
         every join helper — no repeated counts. The cache invalidates
-        itself when either authority table advances (new snapshot id)."""
+        itself when either authority table advances (new snapshot id).
+        A probe prewarmed onto a background thread (run() kicks one off
+        before stage 1, whose jobs it overlaps) is joined here, still
+        exactly one count per snapshot."""
         mode = self.config.authority_broadcast
         if mode == "always":
             return True
         if mode == "never":
             return False
-        key = tuple(
-            (t, snap.snapshot_id if snap else -1)
-            for t in ("authority_entities", "authority_ids")
-            for snap in [self.store.current_snapshot(t)
-                         if self.store.exists(t) else None])
+        key = self._bc_key()
         cached = self._bc_probe_cache.get(key)
         if cached is None:
-            cached = lk.authority_fits_broadcast(auth, ids)
+            fut = self._bc_probe_futures.pop(key, None)
+            cached = (fut.result() if fut is not None
+                      else lk.authority_fits_broadcast(auth, ids))
             self._bc_probe_cache[key] = cached
         return cached
+
+    def _prewarm_broadcast_decision(self) -> None:
+        """Launch the "auto" broadcast probe on a background thread so
+        its count job overlaps stage-1 extraction (guide §2.6 concurrent
+        jobs): the probe reads only the authority tables, which stage 1
+        neither reads nor writes, so the overlapped result is the bool
+        the synchronous probe would have produced. No-op unless the mode
+        is auto, the authority exists, and the snapshot's decision is
+        neither cached nor already in flight."""
+        if self.config.authority_broadcast != "auto":
+            return
+        if not self.store.exists("authority_entities"):
+            return
+        key = self._bc_key()
+        if key in self._bc_probe_cache or key in self._bc_probe_futures:
+            return
+        auth = self.store.read(self.spark, "authority_entities")
+        ids = (self.store.read(self.spark, "authority_ids")
+               if self.store.exists("authority_ids") else None)
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex_ = ThreadPoolExecutor(max_workers=1)
+        self._bc_probe_futures[key] = ex_.submit(
+            lk.authority_fits_broadcast, auth, ids)
+        ex_.shutdown(wait=False)
 
     def stage_link(self) -> None:
         # bucket is a storage-layout column (incremental merge pruning)
@@ -695,6 +731,11 @@ class KGPipeline:
             if resume and self._stage_fresh(stage, inputs):
                 report[stage] = "skipped"
             else:
+                if stage == "extract":
+                    # stage 1 never touches the authority tables — float
+                    # the stage-2/3 broadcast probe over it (one fewer
+                    # sequential count-job wave; stage_link joins it)
+                    self._prewarm_broadcast_decision()
                 t0 = time.time()
                 fns[stage]()
                 outputs = self._input_snapshot_ids(out_tables)
