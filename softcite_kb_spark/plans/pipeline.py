@@ -272,27 +272,32 @@ class KGPipeline:
         triples = ex.extract_triples(transcripts, self._blacklist_df())
         self._write_stage1(triples, "triples")
         triples = self.store.read(self.spark, "triples")  # re-read: cut lineage
+        from concurrent.futures import ThreadPoolExecutor
+
         # one materialized mentions frame feeds BOTH commits: folding from
         # the checkpointed frame (instead of reading the just-written
         # mentions table back) yields identical rows and lets the two
         # independent table commits overlap (fixed commit cost dominates
-        # at this stage's row counts)
-        mentions = ex.mentions_from_triples(triples.drop("bucket")) \
-            .localCheckpoint(eager=False)
-        folded = ex.fold_mentions(mentions)
-        from concurrent.futures import ThreadPoolExecutor
-
-        # the metrics rollup reads the triples SNAPSHOT committed above
-        # (the re-read frame IS that snapshot), so it is independent of
-        # the mentions/folded commits and overlaps with them — one fewer
-        # sequential job wave per run (fixed job cost dominates here)
+        # at this stage's row counts). A "lazy" localCheckpoint still
+        # runs the plan's shuffle stages at call time (AQE), so the
+        # mentions chain runs on a pool thread where its prefetch
+        # overlaps the metrics rollup — which reads the triples SNAPSHOT
+        # committed above (the re-read frame IS that snapshot) and is
+        # independent of the mentions/folded commits.
         with ThreadPoolExecutor(max_workers=3) as pool:
-            fm = pool.submit(self._write_stage1, mentions, "mentions")
-            ff = pool.submit(self._write_stage1, folded, "folded_mentions")
+
+            def _mentions_then_folded() -> None:
+                mentions = ex.mentions_from_triples(triples.drop("bucket")) \
+                    .localCheckpoint(eager=False)
+                folded = ex.fold_mentions(mentions)
+                fm = pool.submit(self._write_stage1, mentions, "mentions")
+                self._write_stage1(folded, "folded_mentions")
+                fm.result()
+
+            fmf = pool.submit(_mentions_then_folded)
             fx = pool.submit(self._write_metrics, "extract", triples,
                              "triples")
-            fm.result()
-            ff.result()
+            fmf.result()
             fx.result()
 
     def ingest_increment(self, new_transcripts: DataFrame) -> dict:
@@ -687,19 +692,33 @@ class KGPipeline:
                                  materializer=self.materializer) \
             .localCheckpoint(eager=False)
         stmts = cz.fold_statements(triples, canon, source=self.config.source_name)
-        nodes = cz.build_nodes(canon, authority_entities=auth, broadcast=bc)
-        edges = cz.build_edges(triples, canon,
-                               authority_keys=lk.authority_block_keys(auth),
-                               broadcast=bc).localCheckpoint(eager=False)
-        nodes = cz.augment_nodes_with_authority(nodes, edges, auth,
-                                                broadcast=bc)
         from concurrent.futures import ThreadPoolExecutor
 
+        # a "lazy" localCheckpoint still runs the plan's shuffle stages
+        # at call time (AQE resolves the final plan eagerly for toRdd),
+        # so the edges checkpoint is a real job wave — run it on a pool
+        # thread where it overlaps the canonical_map/statements commits
+        # instead of preceding them. nodes consumes the checkpointed
+        # edges exactly as before; rows are unchanged, only the wave
+        # schedule moved.
         with ThreadPoolExecutor(max_workers=4) as pool:
+
+            def _edges_then_nodes() -> None:
+                edges = cz.build_edges(
+                    triples, canon,
+                    authority_keys=lk.authority_block_keys(auth),
+                    broadcast=bc).localCheckpoint(eager=False)
+                nodes = cz.augment_nodes_with_authority(
+                    cz.build_nodes(canon, authority_entities=auth,
+                                   broadcast=bc),
+                    edges, auth, broadcast=bc)
+                fe = pool.submit(self.store.write, edges, "edges")
+                self.store.write(nodes, "nodes")
+                fe.result()
+
             futs = [pool.submit(self.store.write, canon, "canonical_map"),
                     pool.submit(self.store.write, stmts, "statements"),
-                    pool.submit(self.store.write, edges, "edges"),
-                    pool.submit(self.store.write, nodes, "nodes")]
+                    pool.submit(_edges_then_nodes)]
             for f in futs:
                 f.result()
         self._write_metrics("canonicalize",
