@@ -109,6 +109,12 @@ class KGPipeline:
         # until a consumer joins them (see _prewarm_broadcast_decision)
         self._bc_probe_cache: dict[tuple, bool] = {}
         self._bc_probe_futures: dict = {}
+        # deferred metrics appends: a SINGLE-worker executor (appends to
+        # the one _metrics table must never run concurrently with each
+        # other) whose jobs fill the next stage's first wave; run()
+        # joins every pending append before returning (_join_metrics)
+        self._metrics_exec = None
+        self._metrics_futs: list = []
 
     # -- manifest ---------------------------------------------------------
     def _load_manifest(self) -> dict:
@@ -215,6 +221,23 @@ class KGPipeline:
             cols = list(part.columns)  # new-schema order, old-only last
             self.store.write(old.select(*cols), "_metrics")
             self.store.append(part.select(*cols), "_metrics")
+
+    def _defer_metrics(self, fn) -> None:
+        """Run a metrics-writing thunk on the serialized background
+        worker. The thunk reads only COMMITTED snapshots (stages call
+        this after their output commit), so running it during the next
+        stage's compute cannot change its rows — it only moves the job
+        off the critical path."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self._metrics_exec is None:
+            self._metrics_exec = ThreadPoolExecutor(max_workers=1)
+        self._metrics_futs.append(self._metrics_exec.submit(fn))
+
+    def _join_metrics(self) -> None:
+        futs, self._metrics_futs = self._metrics_futs, []
+        for f in futs:
+            f.result()
 
     def read_metrics(self, current_only: bool = True) -> DataFrame:
         """The metrics/lineage table; with ``current_only`` keep only each
@@ -668,9 +691,9 @@ class KGPipeline:
                 broadcast=bc,
                 hot_surface_threshold=self.config.hot_surface_threshold)
         self.store.write(linked, "linked_mentions")
-        self._write_metrics(
+        self._defer_metrics(lambda: self._write_metrics(
             "link", self.store.read(self.spark, "linked_mentions"),
-            "linked_mentions")
+            "linked_mentions"))
 
     def stage_canonicalize(self) -> None:
         linked = self.store.read(self.spark, "linked_mentions")
@@ -721,8 +744,8 @@ class KGPipeline:
                     pool.submit(_edges_then_nodes)]
             for f in futs:
                 f.result()
-        self._write_metrics("canonicalize",
-                            self.store.read(self.spark, "nodes"), "nodes")
+        self._defer_metrics(lambda: self._write_metrics(
+            "canonicalize", self.store.read(self.spark, "nodes"), "nodes"))
 
     # -- driver -----------------------------------------------------------
     _STAGE_IO: dict[str, tuple[list[str], list[str]]] = {
@@ -744,28 +767,34 @@ class KGPipeline:
             "canonicalize": self.stage_canonicalize,
         }
         report = {}
-        for stage in self.STAGES:
-            in_tables, out_tables = self._STAGE_IO[stage]
-            inputs = self._input_snapshot_ids(in_tables)
-            if resume and self._stage_fresh(stage, inputs):
-                report[stage] = "skipped"
-            else:
-                if stage == "extract":
-                    # stage 1 never touches the authority tables — float
-                    # the stage-2/3 broadcast probe over it (one fewer
-                    # sequential count-job wave; stage_link joins it)
-                    self._prewarm_broadcast_decision()
-                t0 = time.time()
-                fns[stage]()
-                outputs = self._input_snapshot_ids(out_tables)
-                rows = {
-                    t: (self.store.current_snapshot(t).row_count
-                        if self.store.exists(t) else 0)
-                    for t in out_tables
-                }
-                self._record_stage(stage, inputs, outputs,
-                                   time.time() - t0, rows)
-                report[stage] = "ran"
-            if stop_after == stage:
-                break
+        try:
+            for stage in self.STAGES:
+                in_tables, out_tables = self._STAGE_IO[stage]
+                inputs = self._input_snapshot_ids(in_tables)
+                if resume and self._stage_fresh(stage, inputs):
+                    report[stage] = "skipped"
+                else:
+                    if stage == "extract":
+                        # stage 1 never touches the authority tables —
+                        # float the stage-2/3 broadcast probe over it
+                        # (one fewer sequential count-job wave;
+                        # stage_link joins it)
+                        self._prewarm_broadcast_decision()
+                    t0 = time.time()
+                    fns[stage]()
+                    outputs = self._input_snapshot_ids(out_tables)
+                    rows = {
+                        t: (self.store.current_snapshot(t).row_count
+                            if self.store.exists(t) else 0)
+                        for t in out_tables
+                    }
+                    self._record_stage(stage, inputs, outputs,
+                                       time.time() - t0, rows)
+                    report[stage] = "ran"
+                if stop_after == stage:
+                    break
+        finally:
+            # every deferred metrics append lands before run() returns,
+            # so callers observe the same committed state as before
+            self._join_metrics()
         return report
