@@ -464,6 +464,10 @@ class IncrementalKGPipeline(KGPipeline):
     def _apply_increment(self, new_transcripts: DataFrame) -> dict:
         t0 = time.time()
         self.last_read_buckets = {}
+        # float the authority broadcast probe over the batch-signature /
+        # old-slice / stage-1 work (same overlap run() applies): the
+        # stage-2 decision joins the future via the per-snapshot cache
+        self._prewarm_broadcast_decision()
         mat = self._mat()
         spark = self.spark
         batch_keys = mat(new_transcripts.select("conv_id").distinct())

@@ -348,6 +348,10 @@ class KGPipeline:
         Returns the stage report of the follow-up run
         (extract: "skipped").
         """
+        # float the stage-2/3 broadcast probe over the batch's stage-1
+        # extraction (same overlap run() applies to a full build; the
+        # increment always re-runs link, so the probe is never wasted)
+        self._prewarm_broadcast_decision()
         self.ingest_stage1(new_transcripts)
         return self.run(resume=True)
 
