@@ -44,6 +44,7 @@ poison-payload tolerance — is identical across real and stub formats.
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -53,6 +54,17 @@ from pyspark.sql import types as T
 
 MAGIC = b"SKBM"
 KINDS = {0: "image", 1: "audio", 2: "video"}
+
+#: every exception class a malformed payload can raise out of the pure-
+#: Python decoders: ValueError/TypeError (explicit validation, bytes(None)),
+#: IndexError (short slices), KeyError (a scan referencing an undefined
+#: Huffman/quant table id), struct.error (a segment shorter than its
+#: fixed-layout unpack), zlib.error (CRC-valid PNG chunks whose IDAT is
+#: not a deflate stream). The decode kernels catch exactly this tuple —
+#: a poison row is dropped, it must never kill a 100 TB stage; anything
+#: outside it (MemoryError, AssertionError, bugs) still surfaces.
+_POISON_ERRORS = (ValueError, TypeError, IndexError, KeyError,
+                  struct.error, zlib.error)
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -1408,7 +1420,7 @@ def decode_media(df: DataFrame, drop_malformed: bool = True) -> DataFrame:
                     # another poison row, it must not kill the stage either
                     kind, w, h, cs = _decode_bytes(
                         bytes(payload) if payload is not None else None)
-                except (ValueError, TypeError):
+                except _POISON_ERRORS:
                     if drop_malformed:
                         continue
                     kind, w, h, cs = None, None, None, None
@@ -1481,7 +1493,7 @@ def resize_media(df: DataFrame, target: tuple[int, int] = (32, 32)) -> DataFrame
                         xi = (np.arange(tw) * w) // tw
                         res = px[yi][:, xi]
                         rcs = int(res.sum(dtype="int64")) % (2**31)
-                except (ValueError, TypeError, IndexError):
+                except _POISON_ERRORS:
                     continue
                 out["media_id"].append(mid)
                 out["kind"].append(kind)
@@ -1542,7 +1554,7 @@ def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
                                 for i in range(0, n, every_n)]
                     else:
                         continue  # not a video payload
-                except (ValueError, TypeError):
+                except _POISON_ERRORS:
                     continue
                 for idx, fb, fc in rows:
                     out["media_id"].append(mid)

@@ -232,12 +232,42 @@ class KGPipeline:
 
         if self._metrics_exec is None:
             self._metrics_exec = ThreadPoolExecutor(max_workers=1)
-        self._metrics_futs.append(self._metrics_exec.submit(fn))
+        self._metrics_futs.append((self._metrics_exec.submit(fn), fn))
 
     def _join_metrics(self) -> None:
+        """Join EVERY pending metrics append (never abandon one mid-
+        flight — an orphaned append could run concurrently with a later
+        call's metrics write, breaking the one-writer-at-a-time rule).
+        A failed append is retried once synchronously — the append reads
+        only committed snapshots and commits via staging-dir rename, so
+        a transient failure left nothing behind and the retry restores
+        the row; a persistent failure raises after all futures are
+        joined (the KB tables themselves are unaffected — _metrics is a
+        diagnostics append-log; re-run with resume=False to regenerate
+        the stage's row)."""
         futs, self._metrics_futs = self._metrics_futs, []
-        for f in futs:
-            f.result()
+        first_err = None
+        for f, fn in futs:
+            try:
+                f.result()
+            except Exception:
+                try:
+                    fn()
+                except Exception as e2:
+                    if first_err is None:
+                        first_err = e2
+        if first_err is not None:
+            raise first_err
+
+    def _stage_barrier(self, df: DataFrame) -> DataFrame:
+        """Materialization barrier for an intra-stage frame shared by
+        several commits: the injected cluster materializer when
+        configured (scratch tables survive executor loss), else a lazy
+        localCheckpoint (single-JVM default — executor-local blocks,
+        shuffle stages prefetched by AQE at call time)."""
+        if self.materializer is not None:
+            return self.materializer(df)
+        return df.localCheckpoint(eager=False)
 
     def read_metrics(self, current_only: bool = True) -> DataFrame:
         """The metrics/lineage table; with ``current_only`` keep only each
@@ -310,8 +340,8 @@ class KGPipeline:
         with ThreadPoolExecutor(max_workers=3) as pool:
 
             def _mentions_then_folded() -> None:
-                mentions = ex.mentions_from_triples(triples.drop("bucket")) \
-                    .localCheckpoint(eager=False)
+                mentions = self._stage_barrier(
+                    ex.mentions_from_triples(triples.drop("bucket")))
                 folded = ex.fold_mentions(mentions)
                 fm = pool.submit(self._write_stage1, mentions, "mentions")
                 self._write_stage1(folded, "folded_mentions")
@@ -654,6 +684,13 @@ class KGPipeline:
         key = self._bc_key()
         if key in self._bc_probe_cache or key in self._bc_probe_futures:
             return
+        # drop any stale in-flight probe for a DIFFERENT snapshot (the
+        # authority advanced before the old probe was consumed): the
+        # abandoned count is read-only and its worker thread exits on
+        # completion — but the reference must not accumulate forever in
+        # a long-lived ingest process
+        for stale in [k for k in self._bc_probe_futures if k != key]:
+            self._bc_probe_futures.pop(stale, None)
         auth = self.store.read(self.spark, "authority_entities")
         ids = (self.store.read(self.spark, "authority_ids")
                if self.store.exists("authority_ids") else None)
@@ -706,18 +743,19 @@ class KGPipeline:
         bc = self._broadcast_decision(auth)
         # one materialized canonical-map frame feeds its own commit AND
         # the three downstream builds (identical rows to the previous
-        # write-then-read-back — the lazy checkpoint computes CC once,
-        # block-manager locks serialize concurrent first consumers, and
+        # write-then-read-back — the barrier computes CC once, and
         # every consumer is order-insensitive relational fold/join work).
         # With statements/edges/nodes also pure functions of that frame,
         # all FOUR table commits are independent and overlap (guide
         # concurrent-jobs pattern; commits touch different tables/meta
         # files). Output snapshots are content-identical to the
-        # sequential order.
-        canon = cz.canonical_map(linked, max_iter=self.config.cc_max_iter,
-                                 algorithm=self.config.cc_algorithm,
-                                 materializer=self.materializer) \
-            .localCheckpoint(eager=False)
+        # sequential order; if one commit fails while siblings land, the
+        # stage stays unrecorded and the re-run rewrites all four — the
+        # same torn-window-then-repair the sequential order had.
+        canon = self._stage_barrier(
+            cz.canonical_map(linked, max_iter=self.config.cc_max_iter,
+                             algorithm=self.config.cc_algorithm,
+                             materializer=self.materializer))
         stmts = cz.fold_statements(triples, canon, source=self.config.source_name)
         from concurrent.futures import ThreadPoolExecutor
 
@@ -731,10 +769,10 @@ class KGPipeline:
         with ThreadPoolExecutor(max_workers=4) as pool:
 
             def _edges_then_nodes() -> None:
-                edges = cz.build_edges(
+                edges = self._stage_barrier(cz.build_edges(
                     triples, canon,
                     authority_keys=lk.authority_block_keys(auth),
-                    broadcast=bc).localCheckpoint(eager=False)
+                    broadcast=bc))
                 nodes = cz.augment_nodes_with_authority(
                     cz.build_nodes(canon, authority_entities=auth,
                                    broadcast=bc),
@@ -797,8 +835,15 @@ class KGPipeline:
                     report[stage] = "ran"
                 if stop_after == stage:
                     break
-        finally:
-            # every deferred metrics append lands before run() returns,
-            # so callers observe the same committed state as before
-            self._join_metrics()
+        except BaseException:
+            # join (never abandon) pending appends, but don't let a
+            # metrics failure mask the stage failure being raised
+            try:
+                self._join_metrics()
+            except Exception:
+                pass
+            raise
+        # every deferred metrics append lands before run() returns, so
+        # callers observe the same committed state as before
+        self._join_metrics()
         return report

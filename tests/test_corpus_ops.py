@@ -952,6 +952,46 @@ def test_mp4_poison_payloads_dropped(spark):
         == len(rows)
 
 
+def test_decoder_error_classes_are_poison_not_stage_killers(spark):
+    """Two crafted rows that raise OUTSIDE the (ValueError, TypeError,
+    IndexError) family the kernels used to catch: a PNG whose chunks are
+    CRC-valid but whose IDAT is not a deflate stream (zlib.error), and a
+    JPEG whose SOF segment is shorter than its fixed-layout unpack
+    (struct.error). Both must be DROPPED by decode_media AND
+    resize_media — not kill the mapInPandas stage."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    good = multimodal.encode_png(np.full((4, 6, 3), 9, np.uint8))
+    # replace IDAT data with same-length garbage and RE-SIGN the CRC so
+    # the chunk walk passes and the failure happens inside inflate
+    i = good.index(b"IDAT")
+    dlen = st.unpack(">I", good[i - 4:i])[0]
+    garbage = bytes((7 * k + 13) % 251 for k in range(dlen))
+    bad_png = (good[:i - 4]
+               + st.pack(">I", dlen) + b"IDAT" + garbage
+               + st.pack(">I", zlib.crc32(b"IDAT" + garbage))
+               + good[i + 8 + dlen:])
+    # SOI + SOF0 with declared length 4 => 2 bytes of segment data,
+    # shorter than the ">BHHB" header unpack
+    bad_jpeg = b"\xff\xd8\xff\xc0\x00\x04\x01\x02\xff\xd9"
+    good_jpeg = multimodal.encode_jpeg(np.full((8, 8), 5, np.uint8))
+    rows = [(0, "image", bytearray(good), {}),
+            (1, "image", bytearray(good_jpeg), {}),
+            (2, "image", bytearray(bad_png), {}),
+            (3, "image", bytearray(bad_jpeg), {})]
+    pdf = pd.DataFrame(rows, columns=["media_id", "kind", "payload",
+                                      "meta"])
+    df = spark.createDataFrame(pdf, schema=multimodal.MEDIA_SCHEMA)
+    out = multimodal.decode_media(df).collect()
+    assert sorted(r.media_id for r in out) == [0, 1]
+    resized = multimodal.resize_media(df, target=(2, 2)).collect()
+    assert sorted(r.media_id for r in resized) == [0, 1]
+    assert all(r.resized_checksum is not None for r in resized)
+
+
 def test_mp4_frame_sample_real(spark):
     """frame_sample on MP4 emits one row per sampled REAL sample extent
     (index, byte size, checksum from the container's sample table);

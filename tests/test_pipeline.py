@@ -209,6 +209,44 @@ def test_metrics_append_unrelated_error_not_swallowed(spark, store):
         store.append = orig
 
 
+def test_deferred_metrics_join_all_and_retry(spark, store):
+    """_join_metrics must (a) retry a transiently-failed append once
+    synchronously — the row is restored, no error surfaces — and
+    (b) when one append fails persistently, still join EVERY other
+    pending future (no orphaned appends racing a later writer) before
+    raising."""
+    pipe = KGPipeline(spark, store, _cfg())
+
+    calls = {"flaky": 0, "ok": 0, "late": 0}
+
+    def flaky():
+        calls["flaky"] += 1
+        if calls["flaky"] == 1:
+            raise RuntimeError("transient append failure")
+
+    def ok():
+        calls["ok"] += 1
+
+    pipe._defer_metrics(flaky)
+    pipe._defer_metrics(ok)
+    pipe._join_metrics()  # transient: retried, no error
+    assert calls == {"flaky": 2, "ok": 1, "late": 0}
+    assert pipe._metrics_futs == []
+
+    def fatal():
+        raise RuntimeError("persistent append failure")
+
+    def late():
+        calls["late"] += 1
+
+    pipe._defer_metrics(fatal)
+    pipe._defer_metrics(late)
+    with pytest.raises(RuntimeError, match="persistent"):
+        pipe._join_metrics()
+    assert calls["late"] == 1  # the sibling append was joined, not orphaned
+    assert pipe._metrics_futs == []
+
+
 def test_ingest_rejects_unbucketed_transcripts_table(spark, corpus,
                                                     tmp_path):
     """ADVICE r03: a store whose transcripts were committed with a
